@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so CI
+needs no TPU.
+
+Note: the environment's sitecustomize may import jax at interpreter startup
+(before conftest), so env vars alone are too late — we also force the
+platform through jax.config, which works as long as no backend has been
+initialized yet.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
