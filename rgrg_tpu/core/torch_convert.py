@@ -79,6 +79,89 @@ def convert_resnet_backbone(sd: Mapping[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+def _conv(sd: Mapping[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": conv_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _linear(sd: Mapping[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": linear_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def fc6_kernel_nchw_to_nhwc(w: np.ndarray, channels: int = 2048,
+                            pool: int = 8) -> np.ndarray:
+    """TwoMLPHead fc6 consumes a flattened RoI feature map. torch flattens
+    NCHW (channel-major), our NHWC flatten is spatial-major; permute the
+    input axis accordingly. w: [out, C*P*P] -> [P*P*C, out]."""
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, channels, pool, pool)
+    w = np.transpose(w, (0, 2, 3, 1)).reshape(out_dim, pool * pool * channels)
+    return np.transpose(w, (1, 0))
+
+
+def convert_rpn_head(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Keys under 'rpn.head.'; handles the torchvision version rename where
+    'conv.weight' became 'conv.0.0.weight' (reference train_full_model.py:290-293)."""
+    conv_key = "conv" if "conv.weight" in sd else "conv.0.0"
+    return {
+        "conv": _conv(sd, conv_key),
+        "cls_logits": _conv(sd, "cls_logits"),
+        "bbox_pred": _conv(sd, "bbox_pred"),
+    }
+
+
+def convert_box_head(sd: Mapping[str, np.ndarray], channels: int = 2048,
+                     pool: int = 8) -> Dict[str, Any]:
+    """Keys under 'roi_heads.box_head.'."""
+    return {
+        "fc6": {"kernel": fc6_kernel_nchw_to_nhwc(sd["fc6.weight"], channels, pool),
+                "bias": sd["fc6.bias"]},
+        "fc7": _linear(sd, "fc7"),
+    }
+
+
+def convert_classifier_mlp(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """nn.Sequential Linear/ReLU stack: classifier.0/2/4 -> fc0/fc1/fc2."""
+    return {"fc0": _linear(sd, "classifier.0"),
+            "fc1": _linear(sd, "classifier.2"),
+            "fc2": _linear(sd, "classifier.4")}
+
+
+def convert_detector(sd: Mapping[str, np.ndarray],
+                     selection_sd: Mapping[str, np.ndarray] | None = None,
+                     abnormal_sd: Mapping[str, np.ndarray] | None = None,
+                     stage_sizes=(3, 4, 6, 3)) -> Dict[str, Any]:
+    """Convert a reference ObjectDetector state_dict (keys backbone./rpn./
+    roi_heads.) plus optional classifier state_dicts into RegionDetector
+    {params, batch_stats} trees. Classifier heads default to zero-init
+    placeholders only if their state dicts are not given."""
+    backbone_named = sequential_backbone_to_named(strip_prefix(sd, "backbone."))
+    bb = convert_resnet_backbone(backbone_named, stage_sizes=stage_sizes)
+
+    params: Dict[str, Any] = {"backbone": bb["params"]}
+    stats: Dict[str, Any] = {"backbone": bb["batch_stats"]}
+
+    params["rpn_head"] = convert_rpn_head(strip_prefix(sd, "rpn.head."))
+    roi = strip_prefix(sd, "roi_heads.")
+    params["box_head"] = convert_box_head(strip_prefix(roi, "box_head."))
+    params["box_predictor"] = {
+        "cls_score": _linear(roi, "box_predictor.cls_score"),
+        "bbox_pred": _linear(roi, "box_predictor.bbox_pred"),
+    }
+    params["dim_reduction"] = _linear(roi, "dim_reduction")
+
+    if selection_sd is not None:
+        params["selection_classifier"] = convert_classifier_mlp(selection_sd)
+    if abnormal_sd is not None:
+        params["abnormal_classifier"] = convert_classifier_mlp(abnormal_sd)
+    return {"params": params, "batch_stats": stats}
+
+
 def sequential_backbone_to_named(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Map the reference's nn.Sequential backbone keys to torchvision names.
 

@@ -1,0 +1,196 @@
+"""TPU-native anatomical-region detector.
+
+Re-designs the reference Faster R-CNN pipeline (object_detector.py,
+custom_rpn.py, custom_roi_heads.py) with static shapes end to end:
+
+  - the RPN keeps a FIXED top-k proposal set (1000 eval / 2000 train) with a
+    validity mask instead of dynamically compacting after NMS;
+  - the "class not detected" early-exit logic of the reference becomes a
+    boolean `class_detected` mask carried through (no data-dependent shapes);
+  - top-1-per-class decoding (custom_roi_heads.py:63-208) is a pure
+    argmax/gather over [B, K, 29] score tensors — fully vectorized, no
+    per-image Python loop;
+  - the region-selection / region-abnormal binary classifiers are fused into
+    the same jitted forward (reference keeps them as separate modules).
+
+Everything here is a flax module tree + pure functions; the public entry
+points are `RegionDetector.__call__` (train/eval) and the standalone
+`filter_proposals` / `top1_per_class`, which are also reused by the
+user-box ("selection-based generation") API.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rgrg_tpu.core import constants as C
+from rgrg_tpu.core.config import DetectorConfig
+from rgrg_tpu.ops import anchors as anchors_lib
+from rgrg_tpu.ops import boxes as box_ops
+from rgrg_tpu.ops import nms as nms_lib
+from rgrg_tpu.ops.roi_align import roi_align
+from rgrg_tpu.models.heads import (
+    BinaryClassifierMLP, FastRCNNPredictor, RPNHead, TwoMLPHead)
+from rgrg_tpu.models.resnet import ResNetBackbone
+
+
+def filter_proposals(proposals: jnp.ndarray, objectness: jnp.ndarray,
+                     cfg: DetectorConfig, train: bool):
+    """Static-shape equivalent of torchvision RPN.filter_proposals for a
+    single image: top-k by objectness -> clip -> small-box mask -> NMS.
+
+    proposals: [N, 4]; objectness: [N] logits.
+    Returns (boxes [K, 4] score-sorted, keep [K] bool, scores [K] logits).
+    """
+    k = cfg.rpn.pre_nms_top_n(train)
+    top_scores, idx = jax.lax.top_k(objectness, k)
+    boxes = proposals[idx]
+    boxes = box_ops.clip_boxes_to_image(boxes, cfg.image_size, cfg.image_size)
+    valid = box_ops.remove_small_boxes_mask(boxes, cfg.rpn.min_box_size)
+    # score_thresh is 0.0 and scores are sigmoid outputs (> 0): no-op filter
+    keep = nms_lib.nms_keep_mask_tiled(boxes, valid, cfg.rpn.nms_thresh)
+    # post_nms_top_n == pre_nms_top_n in the reference config, so the kept
+    # mask needs no further truncation.
+    return boxes, keep, top_scores
+
+
+def top1_per_class(class_logits: jnp.ndarray, valid: jnp.ndarray,
+                   num_regions: int = C.NUM_REGIONS):
+    """Vectorized top-1-per-class decoding (custom_roi_heads.py:141-196).
+
+    class_logits: [K, 1+num_regions] (col 0 = background); valid: [K] bool.
+    Returns dict with:
+      class_detected [R] bool, top_idx [R] int (proposal index per region,
+      0 when undetected, as in the reference), top_scores [R].
+    """
+    pred_scores = jax.nn.softmax(class_logits, axis=-1)[:, 1:]  # [K, R]
+    pred_classes = jnp.argmax(pred_scores, axis=-1)             # [K]
+    onehot = jax.nn.one_hot(pred_classes, num_regions, dtype=pred_scores.dtype)
+    onehot = onehot * valid[:, None].astype(pred_scores.dtype)
+    masked = pred_scores * onehot                               # [K, R]
+    top_scores = jnp.max(masked, axis=0)                        # [R]
+    top_idx = jnp.argmax(masked, axis=0)                        # [R]
+    class_detected = jnp.sum(onehot, axis=0) > 0
+    return {"class_detected": class_detected, "top_idx": top_idx,
+            "top_scores": top_scores}
+
+
+class RegionDetector(nn.Module):
+    """Backbone + RPN + RoI heads + fused binary-classifier heads.
+
+    __call__ returns a dict of static-shape tensors; no early returns — the
+    reference's `-1` sentinel for "nothing selected" becomes an all-False
+    `selected_regions` mask (SURVEY.md §5 failure-detection mapping).
+    """
+
+    cfg: DetectorConfig = DetectorConfig()
+
+    def setup(self):
+        self.backbone = ResNetBackbone(stage_sizes=(3, 4, 6, 3), in_channels=1)
+        self.rpn_head = RPNHead(in_channels=C.BACKBONE_CHANNELS,
+                                num_anchors=self.cfg.anchors.num_anchors_per_location)
+        self.box_head = TwoMLPHead(self.cfg.roi.representation_size)
+        self.box_predictor = FastRCNNPredictor(self.cfg.num_classes)
+        self.dim_reduction = nn.Dense(C.REGION_FEATURE_DIM)
+        self.selection_classifier = BinaryClassifierMLP()
+        self.abnormal_classifier = BinaryClassifierMLP()
+
+    def backbone_features(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """images: [B, H, W, 1] NHWC -> C5 features [B, 16, 16, 2048]."""
+        return self.backbone(images, train=train)
+
+    def rpn_proposals(self, feats: jnp.ndarray, train: bool = False):
+        """feats -> (boxes [B, K, 4], keep [B, K], rpn raw outputs)."""
+        objectness, deltas = self.rpn_head(feats)
+        anchors = jnp.asarray(anchors_lib.grid_anchors(self.cfg.anchors))
+        proposals = box_ops.decode_boxes(
+            jax.lax.stop_gradient(deltas), anchors)[..., 0, :]  # [B, N, 4]
+        boxes, keep, scores = jax.vmap(
+            lambda p, o: filter_proposals(p, o, self.cfg, train))(
+                proposals, jax.lax.stop_gradient(objectness))
+        return boxes, keep, (objectness, deltas, anchors)
+
+    def roi_forward(self, feats: jnp.ndarray, boxes: jnp.ndarray):
+        """RoIAlign + box head for a batch of padded proposal boxes.
+
+        feats: [B, 16, 16, 2048]; boxes: [B, K, 4].
+        Returns (class_logits [B,K,30], box_regression [B,K,120],
+                 box_features [B,K,2048] spatially averaged).
+        """
+        pooled = jax.vmap(lambda f, b: roi_align(
+            f, b, output_size=self.cfg.roi.output_size,
+            spatial_scale=1.0 / C.BACKBONE_STRIDE,
+            sampling_ratio=self.cfg.roi.sampling_ratio))(feats, boxes)
+        box_vecs = self.box_head(pooled)                   # [B, K, 1024]
+        class_logits, box_regression = self.box_predictor(box_vecs)
+        box_features = pooled.mean(axis=(-3, -2))          # [B, K, 2048] avg-pool 8x8
+        return class_logits, box_regression, box_features
+
+    def region_features_from_boxes(self, feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """Arbitrary user boxes -> 1024-d region features (the
+        'selection-based generation' API; evaluate_bbox_variations.py:92-109
+        RoI-pools given boxes directly, bypassing the RPN).
+
+        feats: [B, 16, 16, 2048]; boxes: [B, N, 4] -> [B, N, 1024].
+        """
+        pooled = jax.vmap(lambda f, b: roi_align(
+            f, b, output_size=self.cfg.roi.output_size,
+            spatial_scale=1.0 / C.BACKBONE_STRIDE,
+            sampling_ratio=self.cfg.roi.sampling_ratio))(feats, boxes)
+        box_features = pooled.mean(axis=(-3, -2))
+        return self.dim_reduction(box_features)
+
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 logit_threshold: float = -1.0):
+        """Inference/eval forward.
+
+        images: [B, H, W, 1] normalized grayscale.
+        Returns dict:
+          top_region_boxes   [B, 29, 4]
+          top_scores         [B, 29]
+          class_detected     [B, 29] bool
+          region_features    [B, 29, 1024]  (dim-reduced)
+          selection_logits   [B, 29]
+          abnormal_logits    [B, 29]
+          selected_regions   [B, 29] bool (selection > thr, masked by detected)
+          predicted_abnormal [B, 29] bool
+        """
+        feats = self.backbone_features(images, train=train)
+        boxes, keep, _ = self.rpn_proposals(feats, train=False)
+        class_logits, box_regression, box_features = self.roi_forward(feats, boxes)
+
+        sel = jax.vmap(top1_per_class)(class_logits, keep)
+        class_detected = sel["class_detected"]                       # [B, 29]
+        top_idx = sel["top_idx"]                                     # [B, 29]
+
+        # decoded per-class boxes, clip, drop background, gather top per class
+        decoded = box_ops.decode_boxes(
+            box_regression, boxes, weights=self.cfg.roi.bbox_reg_weights)  # [B,K,30,4]
+        decoded = box_ops.clip_boxes_to_image(decoded, self.cfg.image_size,
+                                              self.cfg.image_size)
+        decoded = decoded[..., 1:, :]                                # [B,K,29,4]
+        region_ids = jnp.arange(C.NUM_REGIONS)
+        top_boxes = jax.vmap(lambda d, i: d[i, region_ids])(decoded, top_idx)
+
+        top_features = jax.vmap(lambda f, i: f[i])(box_features, top_idx)  # [B,29,2048]
+        region_features = self.dim_reduction(top_features)           # [B,29,1024]
+
+        selection_logits = self.selection_classifier(region_features)
+        abnormal_logits = self.abnormal_classifier(region_features)
+        selected_regions = (selection_logits > logit_threshold) & class_detected
+        predicted_abnormal = abnormal_logits > logit_threshold
+
+        return {
+            "top_region_boxes": top_boxes,
+            "top_scores": sel["top_scores"],
+            "class_detected": class_detected,
+            "region_features": region_features,
+            "selection_logits": selection_logits,
+            "abnormal_logits": abnormal_logits,
+            "selected_regions": selected_regions,
+            "predicted_abnormal": predicted_abnormal,
+        }

@@ -11,6 +11,34 @@ from __future__ import annotations
 import numpy as np
 
 
+def bilinear_interpolate_vec(data: np.ndarray, y: float, x: float) -> np.ndarray:
+    """data: [H, W, C]. Same point semantics as bilinear_interpolate, all
+    channels at once (the per-point scalar logic is unchanged)."""
+    h, w = data.shape[:2]
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(data.shape[2], dtype=np.float64)
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_low = int(y)
+    x_low = int(x)
+    if y_low >= h - 1:
+        y_high = y_low = h - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= w - 1:
+        x_high = x_low = w - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly = y - y_low
+    lx = x - x_low
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+    return (hy * hx * data[y_low, x_low] + hy * lx * data[y_low, x_high]
+            + ly * hx * data[y_high, x_low] + ly * lx * data[y_high, x_high])
+
+
 def bilinear_interpolate(data: np.ndarray, y: float, x: float) -> float:
     """data: [H, W]. torchvision roi_align bilinear sampling of one point."""
     h, w = data.shape
@@ -66,6 +94,33 @@ def roi_align_oracle(features: np.ndarray, boxes: np.ndarray, output_size: int,
                         for ch in range(c):
                             acc[ch] += bilinear_interpolate(features[:, :, ch], yy, xx)
                 out[i, ph, pw] = acc / count
+    return out
+
+
+def roi_align_oracle_fast(features: np.ndarray, boxes: np.ndarray, output_size: int,
+                          spatial_scale: float, sampling_ratio: int) -> np.ndarray:
+    """Channel-vectorized variant of roi_align_oracle (identical semantics)."""
+    n = boxes.shape[0]
+    c = features.shape[2]
+    out = np.zeros((n, output_size, output_size, c), dtype=np.float64)
+    f64 = features.astype(np.float64)
+    for i in range(n):
+        x1, y1, x2, y2 = (float(v) for v in boxes[i])
+        start_w = x1 * spatial_scale
+        start_h = y1 * spatial_scale
+        roi_w = max(x2 * spatial_scale - start_w, 1.0)
+        roi_h = max(y2 * spatial_scale - start_h, 1.0)
+        bin_w = roi_w / output_size
+        bin_h = roi_h / output_size
+        for ph in range(output_size):
+            for pw in range(output_size):
+                acc = np.zeros((c,), dtype=np.float64)
+                for iy in range(sampling_ratio):
+                    yy = start_h + ph * bin_h + (iy + 0.5) * bin_h / sampling_ratio
+                    for ix in range(sampling_ratio):
+                        xx = start_w + pw * bin_w + (ix + 0.5) * bin_w / sampling_ratio
+                        acc += bilinear_interpolate_vec(f64, yy, xx)
+                out[i, ph, pw] = acc / (sampling_ratio * sampling_ratio)
     return out
 
 
