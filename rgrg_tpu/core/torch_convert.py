@@ -162,6 +162,86 @@ def convert_detector(sd: Mapping[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+def _conv1d_hf(sd: Mapping[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    """HF Conv1D stores weight [in, out] — our layout exactly, no transpose."""
+    return {"kernel": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _ln(sd: Mapping[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def convert_gpt2_transformer(sd: Mapping[str, np.ndarray], num_layers: int,
+                             with_pseudo_attention: bool) -> Dict[str, Any]:
+    """Keys at HF GPT2Model level (wte.weight, h.{i}.attn.c_attn.weight, ...)
+    -> rgrg_tpu.models.gpt2 params (without feature_transform).
+
+    with_pseudo_attention: expect trainable uk/uv per layer (reference
+    checkpoints); plain HF checkpoints get zero-initialized uk/uv.
+    """
+    d = sd["wte.weight"].shape[1]
+    params: Dict[str, Any] = {
+        "wte": {"embedding": sd["wte.weight"]},
+        "wpe": {"embedding": sd["wpe.weight"]},
+        "ln_f": _ln(sd, "ln_f"),
+    }
+    for i in range(num_layers):
+        h = f"h.{i}"
+        attn = {
+            "c_attn": _conv1d_hf(sd, f"{h}.attn.c_attn"),
+            "c_proj": _conv1d_hf(sd, f"{h}.attn.c_proj"),
+        }
+        if with_pseudo_attention:
+            attn["uk"] = _linear(sd, f"{h}.attn.uk")
+            attn["uv"] = _linear(sd, f"{h}.attn.uv")
+        else:
+            attn["uk"] = {"kernel": np.zeros((d, d), np.float32),
+                          "bias": np.zeros((d,), np.float32)}
+            attn["uv"] = {"kernel": np.zeros((d, d), np.float32),
+                          "bias": np.zeros((d,), np.float32)}
+        params[f"h_{i}"] = {
+            "ln_1": _ln(sd, f"{h}.ln_1"),
+            "ln_2": _ln(sd, f"{h}.ln_2"),
+            "attn": attn,
+            "mlp": {"c_fc": _conv1d_hf(sd, f"{h}.mlp.c_fc"),
+                    "c_proj": _conv1d_hf(sd, f"{h}.mlp.c_proj")},
+        }
+    return params
+
+
+def convert_language_model(sd: Mapping[str, np.ndarray],
+                           num_layers: int = 24) -> Dict[str, Any]:
+    """Convert a reference LanguageModel state_dict (keys at the
+    language_model.py LanguageModel level) to decoder params.
+
+    The reference registers the same modules under several attribute paths
+    (gpt_with_lm_head.*, gpt.*, wte.*, gpt2_blocks.*); we read the canonical
+    'gpt_with_lm_head.transformer.' hierarchy, which always exists and keeps
+    uk/uv under h.{i}.attn.
+    """
+    t = strip_prefix(sd, "gpt_with_lm_head.transformer.")
+    params = convert_gpt2_transformer(t, num_layers, with_pseudo_attention=True)
+    fst = strip_prefix(sd, "feature_space_transformation_nn.")
+    params["feature_transform"] = {"fc0": _linear(fst, "0"), "fc1": _linear(fst, "2")}
+    return params
+
+
+def convert_hf_gpt2_lm(sd: Mapping[str, np.ndarray],
+                       num_layers: int) -> Dict[str, Any]:
+    """Convert a plain HF GPT2LMHeadModel state_dict (transformer.* keys).
+    feature_transform is identity-free zero init (uk/uv likewise) — for
+    converter validation and from-scratch pseudo-attention training."""
+    t = strip_prefix(sd, "transformer.")
+    params = convert_gpt2_transformer(t, num_layers, with_pseudo_attention=False)
+    d = params["wte"]["embedding"].shape[1]
+    z = lambda *s: np.zeros(s, np.float32)  # noqa: E731
+    params["feature_transform"] = {
+        "fc0": {"kernel": z(d, d), "bias": z(d)},
+        "fc1": {"kernel": z(d, d), "bias": z(d)},
+    }
+    return params
+
+
 def sequential_backbone_to_named(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Map the reference's nn.Sequential backbone keys to torchvision names.
 

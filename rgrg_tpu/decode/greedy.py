@@ -1,0 +1,59 @@
+"""Greedy decoding as a jittable lax.while_loop state machine.
+
+Replaces the reference's Python token loop (language_model.py:609-652) with
+a static-shape device-side loop: the KV cache is a fixed buffer, the output
+id matrix is fixed [B, max_length], and finished sequences keep appending
+pad tokens exactly like the reference (pad == eos == 50256, skipped when
+decoding). Early-exits when every sequence has finished.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from rgrg_tpu.core.config import DecoderConfig
+from rgrg_tpu.models import gpt2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "precision"))
+def greedy_generate(params: Dict[str, Any], image_features: jnp.ndarray,
+                    cfg: DecoderConfig, max_length: int = 300,
+                    precision=None) -> jnp.ndarray:
+    """image_features: [B, 1024] raw region features.
+
+    Returns output_ids [B, max_length]: column 0 is BOS, then generated
+    tokens; pad tokens after a sequence finishes (reference semantics:
+    max_length counts the BOS, so at most max_length-1 tokens are generated).
+    """
+    b = image_features.shape[0]
+    # cache slots: 0=image, 1..max_length = BOS + up to max_length-1 tokens
+    logits0, cache = gpt2.prefill(params, image_features, cfg.bos_token_id,
+                                  max_length, cfg, precision)
+
+    out = jnp.full((b, max_length), cfg.pad_token_id, jnp.int32)
+    out = out.at[:, 0].set(cfg.bos_token_id)
+
+    first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    out = out.at[:, 1].set(first)
+    unfinished = first != cfg.eos_token_id
+
+    def cond(state):
+        t, _, unfin, _, _ = state
+        return (t < max_length - 2) & jnp.any(unfin)
+
+    def body(state):
+        t, token, unfin, out, cache = state
+        logits, cache = gpt2.decode_step(params, token, t, cache, cfg, precision)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(unfin, nxt, cfg.pad_token_id)
+        out = out.at[:, t + 2].set(nxt)
+        unfin = unfin & (nxt != cfg.eos_token_id)
+        return t + 1, nxt, unfin, out, cache
+
+    _, _, _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), first, unfinished, out, cache))
+    return out

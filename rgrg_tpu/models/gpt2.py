@@ -1,0 +1,326 @@
+"""GPT-2 Medium decoder with pseudo self-attention, pure-functional JAX.
+
+Re-designs the reference LanguageModel (language_model.py:32-652):
+
+  - "pseudo self-attention" (Encoder-Agnostic Adaptation, arXiv 1908.06938):
+    every layer's K/V gets one extra leading slot holding a projection
+    (uk/uv) of the image region feature; the causal mask never masks slot 0.
+  - The KV cache is a STATIC [L, B, H, 1+T_max, D] buffer written in place
+    with dynamic_update_slice — the reference reallocates per step
+    (torch.cat, language_model.py:169-170); ours is while_loop-friendly and
+    allocation-free.
+  - GPT-2 weights are frozen in the reference; here that's an optimizer
+    partition concern (train/, not a model concern) — the forward is the same.
+
+Weight-compatibility notes (all verified by tests/test_gpt2.py):
+  - c_attn/c_proj/c_fc are HF Conv1D layers: weights stored [in, out] — used
+    as-is, NO transpose (unlike torch Linear).
+  - positional embeddings are looked up in the WORD embedding table when
+    cfg.positions_from_wte (reference quirk at language_model.py:307, baked
+    into the published checkpoints).
+  - lm_head is tied to wte (HF GPT2LMHeadModel).
+  - attention: scale 1/sqrt(head_dim); causal fill -1e4; additive padding
+    mask -1e4 * (1-mask) with an extra always-on column for the image slot.
+    (The reference uses -1e4 for the causal fill and -10000.0 for the padding
+    mask — the same number.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rgrg_tpu.core.config import DecoderConfig
+
+Params = Dict[str, Any]
+
+MASK_VALUE = -1e4
+
+
+def _dense(x: jnp.ndarray, p: Params, precision=None) -> jnp.ndarray:
+    """y = x @ kernel + bias, kernel stored [in, out]."""
+    return jnp.dot(x, p["kernel"], precision=precision) + p["bias"]
+
+
+def _layer_norm(x: jnp.ndarray, p: Params, eps: float) -> jnp.ndarray:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _gelu_new(x: jnp.ndarray) -> jnp.ndarray:
+    """HF 'gelu_new' == tanh-approximated GELU (GPT-2's activation)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int, head_dim: int) -> jnp.ndarray:
+    """[..., S, H*D] -> [..., H, S, D]"""
+    y = x.reshape(x.shape[:-1] + (num_heads, head_dim))
+    return jnp.swapaxes(y, -3, -2)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, S, D] -> [..., S, H*D]"""
+    y = jnp.swapaxes(x, -3, -2)
+    return y.reshape(y.shape[:-2] + (-1,))
+
+
+def init_decoder_params(rng: jax.Array, cfg: DecoderConfig,
+                        dtype=jnp.float32) -> Params:
+    """Random init with GPT-2 conventions (N(0, 0.02), zeros bias). The real
+    model loads converted HF/reference weights; this exists for tests and
+    from-scratch experiments."""
+    keys = iter(jax.random.split(rng, 8 + 16 * cfg.num_layers))
+    n = lambda *shape: (jax.random.normal(next(keys), shape, dtype) * 0.02)  # noqa: E731
+    z = lambda *shape: jnp.zeros(shape, dtype)  # noqa: E731
+    ln = lambda: {"scale": jnp.ones((cfg.hidden_dim,), dtype),  # noqa: E731
+                  "bias": z(cfg.hidden_dim)}
+    d = cfg.hidden_dim
+    params: Params = {
+        "wte": {"embedding": n(cfg.vocab_size, d)},
+        "wpe": {"embedding": n(cfg.max_positions, d)},
+        "ln_f": ln(),
+        "feature_transform": {
+            "fc0": {"kernel": n(d, d), "bias": z(d)},
+            "fc1": {"kernel": n(d, d), "bias": z(d)},
+        },
+    }
+    for i in range(cfg.num_layers):
+        params[f"h_{i}"] = {
+            "ln_1": ln(),
+            "ln_2": ln(),
+            "attn": {
+                "c_attn": {"kernel": n(d, 3 * d), "bias": z(3 * d)},
+                "c_proj": {"kernel": n(d, d), "bias": z(d)},
+                "uk": {"kernel": n(d, d), "bias": z(d)},
+                "uv": {"kernel": n(d, d), "bias": z(d)},
+            },
+            "mlp": {
+                "c_fc": {"kernel": n(d, 4 * d), "bias": z(4 * d)},
+                "c_proj": {"kernel": n(4 * d, d), "bias": z(d)},
+            },
+        }
+    return params
+
+
+def feature_transform(params: Params, image_features: jnp.ndarray,
+                      precision=None) -> jnp.ndarray:
+    """Image-feature-space -> text-feature-space MLP
+    (language_model.py:229-234). [N, 1024] -> [N, 1024]."""
+    p = params["feature_transform"]
+    h = jax.nn.relu(_dense(image_features, p["fc0"], precision))
+    return _dense(h, p["fc1"], precision)
+
+
+def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               bias: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """q [B,H,S,D] x k/v [B,H,T,D] with additive bias [B,1,S,T] (0 or -1e4)."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(v.shape[-1], q.dtype))
+    w = jnp.einsum("bhsd,bhtd->bhst", q, k, precision=precision) * scale
+    w = w + bias
+    w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", w, v, precision=precision)
+
+
+def _block_attn_full(bp: Params, x_norm: jnp.ndarray, image_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                     bias: jnp.ndarray, cfg: DecoderConfig, precision=None):
+    """Full-sequence pseudo-attention (training / scoring path).
+
+    x_norm: [B, S, D]; image_kv: (k_img, v_img) each [B, 1, D] (already
+    projected by uk/uv), or None for vanilla attention.
+    Returns attn output [B, S, D].
+    """
+    qkv = _dense(x_norm, bp["c_attn"], precision)
+    q, k_w, v_w = jnp.split(qkv, 3, axis=-1)
+    if image_kv is not None:
+        k = jnp.concatenate([image_kv[0], k_w], axis=1)  # [B, 1+S, D]
+        v = jnp.concatenate([image_kv[1], v_w], axis=1)
+    else:
+        k, v = k_w, v_w
+    qh = _split_heads(q, cfg.num_heads, cfg.head_dim)
+    kh = _split_heads(k, cfg.num_heads, cfg.head_dim)
+    vh = _split_heads(v, cfg.num_heads, cfg.head_dim)
+    out = _attention(qh, kh, vh, bias, precision)
+    return _dense(_merge_heads(out), bp["c_proj"], precision)
+
+
+def _positions_embed(params: Params, position_ids: jnp.ndarray,
+                     cfg: DecoderConfig) -> jnp.ndarray:
+    table = params["wte" if cfg.positions_from_wte else "wpe"]["embedding"]
+    return table[position_ids]
+
+
+def forward_full(params: Params, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray, image_features: jnp.ndarray,
+                 cfg: DecoderConfig, precision=None) -> jnp.ndarray:
+    """Teacher-forced forward over full sequences.
+
+    input_ids/attention_mask: [B, S]; image_features: [B, 1024] (raw region
+    features — the feature-space transform is applied here, as in
+    language_model.py:284), or None for vanilla GPT-2 attention (no image
+    slot; used for converter validation and plain-LM scoring).
+    Returns lm_logits [B, S, vocab].
+    """
+    b, s = input_ids.shape
+    with_image = image_features is not None
+    if with_image:
+        img = feature_transform(params, image_features, precision)[:, None, :]  # [B,1,D]
+
+    position_ids = jnp.arange(s)[None, :]
+    x = params["wte"]["embedding"][input_ids] + _positions_embed(params, position_ids, cfg)
+
+    # bias [B, 1, S, (1+)S]: causal (image column always visible) + padding
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    pad = attention_mask
+    if with_image:
+        causal = jnp.concatenate([jnp.ones((s, 1), bool), causal], axis=1)  # [S, 1+S]
+        pad = jnp.concatenate(
+            [jnp.ones((b, 1), attention_mask.dtype), attention_mask], axis=1)
+    bias = jnp.where(causal[None, None], 0.0, MASK_VALUE)
+    bias = bias + (1.0 - pad[:, None, None, :].astype(x.dtype)) * MASK_VALUE
+
+    for i in range(cfg.num_layers):
+        bp = params[f"h_{i}"]
+        if with_image:
+            image_kv = (_dense(img, bp["attn"]["uk"], precision),
+                        _dense(img, bp["attn"]["uv"], precision))
+        else:
+            image_kv = None
+        a = _block_attn_full(bp["attn"], _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps),
+                             image_kv, bias, cfg, precision)
+        x = x + a
+        m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
+        m = _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),
+                   bp["mlp"]["c_proj"], precision)
+        x = x + m
+
+    x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
+    return jnp.dot(x, params["wte"]["embedding"].T, precision=precision)
+
+
+def language_model_loss(params: Params, input_ids: jnp.ndarray,
+                        attention_mask: jnp.ndarray, image_features: jnp.ndarray,
+                        cfg: DecoderConfig, precision=None) -> jnp.ndarray:
+    """Shift-by-one CE with padding positions ignored
+    (language_model.py:368-396): labels = input_ids, pad -> ignore, mean over
+    non-ignored targets."""
+    logits = forward_full(params, input_ids, attention_mask, image_features,
+                          cfg, precision)
+    shift_logits = logits[:, :-1, :]
+    shift_labels = input_ids[:, 1:]
+    shift_valid = attention_mask[:, 1:].astype(bool)
+
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(shift_valid, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(shift_valid), 1)
+    return jnp.sum(nll) / denom
+
+
+# ---------------------------------------------------------------------------
+# KV-cached generation path
+# ---------------------------------------------------------------------------
+
+def init_cache(batch: int, max_len: int, cfg: DecoderConfig,
+               dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Static cache: slot 0 = image K/V, slots 1..max_len = tokens."""
+    shape = (cfg.num_layers, batch, cfg.num_heads, 1 + max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill(params: Params, image_features: jnp.ndarray, bos_token: int,
+            max_len: int, cfg: DecoderConfig, precision=None,
+            cache_dtype=jnp.float32):
+    """Start generation: write image K/V to slot 0 and the BOS token's K/V to
+    slot 1 of every layer; return (logits [B, vocab] for the BOS position,
+    cache). Generation always starts from a single BOS with an all-ones mask
+    (language_model.py:417-420), so this prefill covers exactly one position.
+    """
+    b = image_features.shape[0]
+    img = feature_transform(params, image_features, precision)[:, None, :]
+    cache = init_cache(b, max_len, cfg, cache_dtype)
+
+    ids = jnp.full((b, 1), bos_token, jnp.int32)
+    pos = jnp.zeros((b, 1), jnp.int32)
+    x = params["wte"]["embedding"][ids] + _positions_embed(params, pos, cfg)
+
+    for i in range(cfg.num_layers):
+        bp = params[f"h_{i}"]
+        k_img = _split_heads(_dense(img, bp["attn"]["uk"], precision),
+                             cfg.num_heads, cfg.head_dim)       # [B,H,1,D]
+        v_img = _split_heads(_dense(img, bp["attn"]["uv"], precision),
+                             cfg.num_heads, cfg.head_dim)
+        x_norm = _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps)
+        qkv = _dense(x_norm, bp["attn"]["c_attn"], precision)
+        q, k_w, v_w = jnp.split(qkv, 3, axis=-1)
+        qh = _split_heads(q, cfg.num_heads, cfg.head_dim)        # [B,H,1,D]
+        kh = _split_heads(k_w, cfg.num_heads, cfg.head_dim)
+        vh = _split_heads(v_w, cfg.num_heads, cfg.head_dim)
+
+        k01 = jnp.concatenate([k_img, kh], axis=2)               # [B,H,2,D]
+        v01 = jnp.concatenate([v_img, vh], axis=2)
+        cache["k"] = cache["k"].at[i, :, :, 0:2, :].set(k01.astype(cache_dtype))
+        cache["v"] = cache["v"].at[i, :, :, 0:2, :].set(v01.astype(cache_dtype))
+
+        bias = jnp.zeros((1, 1, 1, 2), x.dtype)  # image + self, both visible
+        a = _attention(qh, k01, v01, bias, precision)
+        x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
+        m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
+        x = x + _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),
+                       bp["mlp"]["c_proj"], precision)
+
+    x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
+    logits = jnp.dot(x[:, 0, :], params["wte"]["embedding"].T, precision=precision)
+    return logits, cache
+
+
+def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
+                cache: Dict[str, jnp.ndarray], cfg: DecoderConfig,
+                precision=None):
+    """One generation step.
+
+    token: [B] token ids generated at position `step` (0-based over
+    generated tokens; BOS was position 0, so this token's position id is
+    step+1 and its cache slot is step+2... concretely: after prefill the
+    cache holds slots [0]=image, [1]=BOS; the first decode_step consumes the
+    token sampled from the prefill logits, position id 1, writing slot 2.
+
+    Returns (logits [B, vocab], updated cache).
+    """
+    b = token.shape[0]
+    pos = (step + 1) * jnp.ones((b, 1), jnp.int32)
+    x = params["wte"]["embedding"][token[:, None]] + _positions_embed(params, pos, cfg)
+
+    t_total = cache["k"].shape[3]
+    # visibility: slots 0..step+2 inclusive hold data after this step's write
+    slot = step + 2
+    visible = jnp.arange(t_total)[None, None, None, :] <= slot
+    bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
+
+    for i in range(cfg.num_layers):
+        bp = params[f"h_{i}"]
+        x_norm = _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps)
+        qkv = _dense(x_norm, bp["attn"]["c_attn"], precision)
+        q, k_w, v_w = jnp.split(qkv, 3, axis=-1)
+        qh = _split_heads(q, cfg.num_heads, cfg.head_dim)        # [B,H,1,D]
+        kh = _split_heads(k_w, cfg.num_heads, cfg.head_dim).astype(cache["k"].dtype)
+        vh = _split_heads(v_w, cfg.num_heads, cfg.head_dim).astype(cache["v"].dtype)
+
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], kh[None], (i, 0, 0, slot, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], vh[None], (i, 0, 0, slot, 0))
+        cache = {"k": ck, "v": cv}
+
+        a = _attention(qh, ck[i].astype(x.dtype), cv[i].astype(x.dtype),
+                       bias, precision)
+        x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
+        m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
+        x = x + _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),
+                       bp["mlp"]["c_proj"], precision)
+
+    x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
+    logits = jnp.dot(x[:, 0, :], params["wte"]["embedding"].T, precision=precision)
+    return logits, cache
