@@ -115,6 +115,8 @@ class DecoderConfig:
 
     vocab_size: int = C.VOCAB_SIZE
     hidden_dim: int = C.HIDDEN_DIM
+    # input dim of the image-feature-space transform (region feature dim)
+    image_feature_dim: int = C.REGION_FEATURE_DIM
     num_heads: int = C.NUM_HEADS
     num_layers: int = C.NUM_LAYERS
     max_positions: int = C.MAX_POSITIONS

@@ -22,8 +22,12 @@ from rgrg_tpu.models import gpt2
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "precision"))
 def greedy_generate(params: Dict[str, Any], image_features: jnp.ndarray,
                     cfg: DecoderConfig, max_length: int = 300,
-                    precision=None) -> jnp.ndarray:
+                    precision=None, active: jnp.ndarray | None = None) -> jnp.ndarray:
     """image_features: [B, 1024] raw region features.
+
+    active: optional [B] bool — rows that actually need decoding (padding
+    rows of a compacted selection batch are born finished, so they cost no
+    loop iterations once real rows are done).
 
     Returns output_ids [B, max_length]: column 0 is BOS, then generated
     tokens; pad tokens after a sequence finishes (reference semantics:
@@ -38,8 +42,12 @@ def greedy_generate(params: Dict[str, Any], image_features: jnp.ndarray,
     out = out.at[:, 0].set(cfg.bos_token_id)
 
     first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    if active is not None:
+        first = jnp.where(active, first, cfg.pad_token_id)
     out = out.at[:, 1].set(first)
     unfinished = first != cfg.eos_token_id
+    if active is not None:
+        unfinished = unfinished & active
 
     def cond(state):
         t, _, unfin, _, _ = state

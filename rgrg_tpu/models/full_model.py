@@ -1,0 +1,139 @@
+"""Full RGRG pipeline: detector -> region selection -> per-region decoding.
+
+TPU-native redesign of the reference ReportGenerationModel
+(report_generation_model.py):
+
+  - The reference's dynamic `selected_region_features [N_sel, 1024]` gather
+    becomes a device-side compaction to a STATIC decode budget: selected
+    (image, region) pairs are argsort-compacted to the front (original order
+    preserved, matching the reference's boolean-mask flattening), padded to
+    `r_budget`, decoded as one batch, and scattered back to [B, 29, L].
+  - The `-1` "nothing selected" sentinel (report_generation_model.py:122-135)
+    becomes an all-False `selected_regions` mask; padding rows are born
+    finished in the decode loop, so an empty selection costs ~nothing.
+  - The host picks `r_budget` from the actual selection count (one scalar
+    readback) and dispatches to a per-bucket jitted decode — the TPU replaces
+    dynamic shapes with a handful of compiled buckets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgrg_tpu.core import constants as C
+from rgrg_tpu.core.config import ModelConfig
+from rgrg_tpu.decode.greedy import greedy_generate
+from rgrg_tpu.models import gpt2
+from rgrg_tpu.models.detector import RegionDetector
+
+
+@dataclasses.dataclass(frozen=True)
+class RGRG:
+    """The full model: a RegionDetector flax module + functional decoder.
+
+    Params layout: {"detector": {"params":..., "batch_stats":...},
+                    "decoder": <gpt2 params>}.
+    """
+
+    cfg: ModelConfig = ModelConfig()
+
+    @property
+    def detector(self) -> RegionDetector:
+        return RegionDetector(cfg=self.cfg.detector)
+
+    def init(self, rng: jax.Array, decoder_dtype=jnp.float32) -> Dict[str, Any]:
+        r1, r2 = jax.random.split(rng)
+        det_vars = self.detector.init(
+            r1, jnp.zeros((1, self.cfg.detector.image_size,
+                           self.cfg.detector.image_size, 1)), train=False)
+        dec = gpt2.init_decoder_params(r2, self.cfg.decoder, decoder_dtype)
+        return {"detector": dict(det_vars), "decoder": dec}
+
+    # ---------------- jitted stages ----------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def detect(self, params: Dict[str, Any], images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """images: [B, H, W, 1] normalized NHWC. Detector + classifier heads."""
+        return self.detector.apply(
+            params["detector"], images, train=False,
+            logit_threshold=self.cfg.classifier.logit_threshold)
+
+    @functools.partial(jax.jit, static_argnames=("self", "r_budget", "max_length", "precision"))
+    def decode_selected(self, params: Dict[str, Any],
+                        region_features: jnp.ndarray,
+                        selected_regions: jnp.ndarray,
+                        r_budget: int, max_length: int,
+                        precision=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact selected regions to r_budget rows, greedy-decode, scatter.
+
+        region_features: [B, 29, 1024]; selected_regions: [B, 29] bool.
+        Returns (output_ids [B, 29, max_length], decoded_mask [B, 29]):
+        decoded_mask marks regions whose row fit in the budget.
+        """
+        b = region_features.shape[0]
+        flat_feats = region_features.reshape(b * C.NUM_REGIONS, -1)
+        sel = selected_regions.reshape(-1)
+
+        order = jnp.argsort(jnp.where(sel, 0, 1), stable=True)
+        idx = order[:r_budget]
+        active = sel[idx]
+        feats = flat_feats[idx]
+
+        ids = greedy_generate(params["decoder"], feats, self.cfg.decoder,
+                              max_length=max_length, precision=precision,
+                              active=active)  # [r_budget, L]
+
+        out = jnp.full((b * C.NUM_REGIONS, max_length),
+                       self.cfg.decoder.pad_token_id, jnp.int32)
+        out = out.at[idx].set(jnp.where(active[:, None], ids,
+                                        self.cfg.decoder.pad_token_id))
+        decoded = jnp.zeros((b * C.NUM_REGIONS,), bool).at[idx].set(active)
+        return (out.reshape(b, C.NUM_REGIONS, max_length),
+                decoded.reshape(b, C.NUM_REGIONS))
+
+    # ---------------- host orchestration ----------------
+
+    def budget_for(self, num_selected: int, batch: int) -> int:
+        """Pick a static decode bucket >= num_selected (powers of two, capped
+        at B*29). Keeps the set of compiled decode graphs small."""
+        cap = batch * C.NUM_REGIONS
+        budget = 8
+        while budget < num_selected:
+            budget *= 2
+        return min(budget, cap)
+
+    def generate(self, params: Dict[str, Any], images: jnp.ndarray,
+                 max_length: Optional[int] = None,
+                 precision=None) -> Dict[str, Any]:
+        """Full inference for a batch of images (greedy decoding).
+
+        Equivalent surface to reference ReportGenerationModel.generate
+        (report_generation_model.py:212-276): returns output ids per selected
+        region plus detections / masks for mapping sentences to regions.
+        """
+        if max_length is None:
+            max_length = self.cfg.generation.max_length
+        det = self.detect(params, images)
+        sel = det["selected_regions"]
+        num_selected = int(jnp.sum(sel))  # one scalar readback
+        b = images.shape[0]
+        r_budget = self.budget_for(num_selected, b)
+        output_ids, decoded_mask = self.decode_selected(
+            params, det["region_features"], sel, r_budget, max_length,
+            precision=precision)
+        return {
+            "output_ids": output_ids,            # [B, 29, L]
+            "selected_regions": np.asarray(sel),
+            "decoded_mask": np.asarray(decoded_mask),
+            "detections": {
+                "top_region_boxes": np.asarray(det["top_region_boxes"]),
+                "top_scores": np.asarray(det["top_scores"]),
+            },
+            "class_detected": np.asarray(det["class_detected"]),
+        }

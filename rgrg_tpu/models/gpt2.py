@@ -83,7 +83,7 @@ def init_decoder_params(rng: jax.Array, cfg: DecoderConfig,
         "wpe": {"embedding": n(cfg.max_positions, d)},
         "ln_f": ln(),
         "feature_transform": {
-            "fc0": {"kernel": n(d, d), "bias": z(d)},
+            "fc0": {"kernel": n(cfg.image_feature_dim, d), "bias": z(d)},
             "fc1": {"kernel": n(d, d), "bias": z(d)},
         },
     }
