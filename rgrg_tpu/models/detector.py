@@ -144,6 +144,50 @@ class RegionDetector(nn.Module):
         box_features = pooled.mean(axis=(-3, -2))
         return self.dim_reduction(box_features)
 
+    def train_forward(self, images: jnp.ndarray, gt_boxes: jnp.ndarray,
+                      gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+                      rng: jax.Array, bn_train: bool = True):
+        """Training forward: losses + per-region features.
+
+        Mirrors the reference train path (custom_roi_heads.py:225-258): the
+        RoI head runs on the 512 SAMPLED proposals (gt-augmented), and
+        top-1-per-class / region features are computed from those samples.
+
+        gt_boxes: [B, G, 4]; gt_labels: [B, G] int (1..29); gt_valid: [B, G].
+        Returns (losses dict, aux dict with region_features [B,29,1024],
+        class_detected [B,29], selection/abnormal logits).
+        """
+        from rgrg_tpu.train import losses as L  # local import to avoid cycle
+
+        r_rpn, r_roi = jax.random.split(rng)
+        feats = self.backbone_features(images, train=bn_train)
+        boxes, keep, (objectness, deltas, anchors) = self.rpn_proposals(
+            feats, train=True)
+
+        rpn_losses = L.rpn_loss(r_rpn, objectness, deltas, anchors,
+                                gt_boxes, gt_valid, self.cfg)
+
+        samples = L.select_training_samples(
+            r_roi, boxes, keep, gt_boxes, gt_labels, gt_valid, self.cfg)
+        class_logits, box_regression, box_features = self.roi_forward(
+            feats, samples.proposals)
+        roi_losses = L.fastrcnn_loss(class_logits, box_regression, samples)
+
+        sel = jax.vmap(top1_per_class)(class_logits, samples.sampled)
+        top_features = jax.vmap(lambda f, i: f[i])(box_features, sel["top_idx"])
+        region_features = self.dim_reduction(top_features)
+        selection_logits = self.selection_classifier(region_features)
+        abnormal_logits = self.abnormal_classifier(region_features)
+
+        losses = {**rpn_losses, **roi_losses}
+        aux = {
+            "region_features": region_features,
+            "class_detected": sel["class_detected"],
+            "selection_logits": selection_logits,
+            "abnormal_logits": abnormal_logits,
+        }
+        return losses, aux
+
     def __call__(self, images: jnp.ndarray, train: bool = False,
                  logit_threshold: float = -1.0):
         """Inference/eval forward.

@@ -1,0 +1,152 @@
+"""Train steps for the 3-stage RGRG protocol, pjit data-parallel.
+
+Stages (reference README_TRAIN_TEST.md / run_configurations.py:11-28):
+  1: object detector alone (losses: rpn objectness/box + roi cls/box)
+  2: detector + both binary classifiers (PRETRAIN_WITHOUT_LM_MODEL)
+  3: full model incl. language model (GPT-2 base frozen; uk/uv +
+     feature-space transform + detector/classifiers train)
+
+Weighted total (run_configurations.py:58-61): detector 1, selection 5,
+abnormal 5, LM 2.
+
+The GPT-2 freeze is an optimizer partition (optax.multi_transform with
+set_to_zero on the frozen subtree) — the forward is identical either way,
+exactly like the reference's requires_grad=False.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rgrg_tpu.core.config import ModelConfig, TrainConfig
+from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.train import losses as L
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def decoder_trainable_mask(decoder_params: Dict[str, Any]) -> Dict[str, Any]:
+    """True for uk/uv and feature_transform; False for the frozen GPT-2 base
+    (language_model.py:208-209 freezes everything, then adds trainable
+    uk/uv + the feature-space MLP)."""
+    def mark(path, _):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if "feature_transform" in keys:
+            return True
+        return "uk" in keys or "uv" in keys
+
+    return jax.tree_util.tree_map_with_path(mark, decoder_params)
+
+
+def trainable_mask(params: Dict[str, Any], stage: int) -> Dict[str, Any]:
+    def det_mark(path, _):
+        # batch_stats update through the BN mutable mechanism, never the
+        # optimizer (adamw's weight decay would corrupt them otherwise)
+        keys = [str(getattr(p, "key", p)) for p in path]
+        return "batch_stats" not in keys
+
+    mask = {
+        "detector": jax.tree_util.tree_map_with_path(det_mark, params["detector"]),
+        "decoder": jax.tree.map(lambda _: False, params["decoder"]),
+    }
+    if stage >= 3:
+        mask["decoder"] = decoder_trainable_mask(params["decoder"])
+    return mask
+
+
+def make_optimizer(params: Dict[str, Any], tcfg: TrainConfig, stage: int,
+                   learning_rate: Optional[float] = None) -> optax.GradientTransformation:
+    lr = learning_rate if learning_rate is not None else (
+        tcfg.detector_learning_rate if stage == 1 else tcfg.learning_rate)
+    mask = trainable_mask(params, stage)
+    opt = optax.multi_transform(
+        {"train": optax.adamw(lr, weight_decay=tcfg.weight_decay),
+         "frozen": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "frozen", mask))
+    if tcfg.grad_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, tcfg.grad_accumulation_steps)
+    return opt
+
+
+def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
+                   rng: jax.Array, stage: int, tcfg: TrainConfig,
+                   lm_budget: int, precision=None):
+    """Returns (total, loss dict, new batch_stats)."""
+    det = model.detector
+    variables = params["detector"]
+    (det_losses, aux), mutated = det.apply(
+        variables, batch["images"], batch["gt_boxes"], batch["gt_labels"],
+        batch["gt_valid"], rng, method=det.train_forward,
+        mutable=["batch_stats"])
+
+    losses = dict(det_losses)
+    total = tcfg.loss_weight_detector * sum(det_losses.values())
+
+    if stage >= 2:
+        sel_loss = L.classifier_loss(
+            aux["selection_logits"], batch["region_has_sentence"],
+            aux["class_detected"], model.cfg.classifier.selection_pos_weight)
+        abn_loss = L.classifier_loss(
+            aux["abnormal_logits"], batch["region_is_abnormal"],
+            aux["class_detected"], model.cfg.classifier.abnormal_pos_weight)
+        losses["loss_selection"] = sel_loss
+        losses["loss_abnormal"] = abn_loss
+        total = (total + tcfg.loss_weight_selection * sel_loss
+                 + tcfg.loss_weight_abnormal * abn_loss)
+
+    if stage >= 3:
+        seq_valid = aux["class_detected"] & batch["region_has_sentence"].astype(bool)
+        lm = L.lm_loss_selected(params["decoder"], batch["input_ids"],
+                                batch["attention_mask"], aux["region_features"],
+                                seq_valid, model.cfg.decoder, lm_budget,
+                                precision=precision)
+        losses["loss_lm"] = lm
+        total = total + tcfg.loss_weight_lm * lm
+
+    losses["loss_total"] = total
+    return total, losses, mutated.get("batch_stats")
+
+
+def make_train_step(model: RGRG, tcfg: TrainConfig, optimizer,
+                    stage: int = 3, lm_budget: int = 128, precision=None):
+    """Builds a jitted DP train step.
+
+    batch leaves are sharded over the mesh "data" axis by the caller
+    (core.mesh.shard_pytree_batch); params replicated. XLA inserts the
+    gradient all-reduce.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        def loss_fn(params):
+            total, losses, new_stats = compute_losses(
+                model, params, batch, rng, stage, tcfg, lm_budget, precision)
+            return total, (losses, new_stats)
+
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if new_stats is not None:
+            params = dict(params)
+            params["detector"] = dict(params["detector"])
+            params["detector"]["batch_stats"] = new_stats
+        return TrainState(params, opt_state, state.step + 1), losses
+
+    return train_step
+
+
+def init_train_state(model: RGRG, rng: jax.Array, tcfg: TrainConfig,
+                     stage: int = 3, learning_rate: Optional[float] = None):
+    params = model.init(rng)
+    optimizer = make_optimizer(params, tcfg, stage, learning_rate)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), optimizer

@@ -1,0 +1,96 @@
+"""Tokenizer and report-assembly tests."""
+
+import numpy as np
+
+from rgrg_tpu.text.tokenizer import GPT2Tokenizer, ENDOFTEXT, _bytes_to_unicode
+from rgrg_tpu.text.report import (assemble_report, remove_duplicate_sentences,
+                                  split_sentences)
+
+
+class TestTokenizer:
+    def test_roundtrip_bytes_dummy(self):
+        tok = GPT2Tokenizer.dummy()
+        for text in ["Hello, world!", "The heart is normal.",
+                     "1.5 cm nodule  with  spaces", "naïve café ünïcode"]:
+            ids = tok.encode(text)
+            assert tok.decode(ids) == text
+
+    def test_special_token_wrap_and_skip(self):
+        tok = GPT2Tokenizer.dummy()
+        ids = tok.encode("abc", add_special=True)
+        assert ids[0] == tok.bos_token_id and ids[-1] == tok.eos_token_id
+        assert tok.decode(ids) == "abc"
+        assert ENDOFTEXT in tok.decode(ids, skip_special_tokens=False)
+
+    def test_bpe_merges_applied(self):
+        # tiny custom vocab with one merge: "l"+"l" -> "ll"
+        byte_enc = _bytes_to_unicode()
+        base = sorted(set(byte_enc.values()))
+        encoder = {t: i for i, t in enumerate(base)}
+        encoder["ll"] = len(encoder)
+        encoder[ENDOFTEXT] = len(encoder)
+        tok = GPT2Tokenizer(encoder, [("l", "l")])
+        ids = tok.encode("hello")
+        assert encoder["ll"] in ids
+        assert tok.decode(ids) == "hello"
+
+    def test_pad_batch(self):
+        tok = GPT2Tokenizer.dummy()
+        ids, mask = tok.pad_batch([[1, 2, 3], [4]], max_len=4)
+        assert ids[0] == [1, 2, 3, tok.pad_token_id]
+        assert mask[1] == [1, 0, 0, 0]
+
+    def test_gpt2_regex_pretokenization(self):
+        tok = GPT2Tokenizer.dummy()
+        # contractions split like GPT-2
+        ids = tok.encode("can't stop")
+        assert tok.decode(ids) == "can't stop"
+
+
+class TestReportAssembly:
+    def test_split_keeps_decimals(self):
+        s = split_sentences("There is a 1.5 cm nodule. The heart is normal.")
+        assert s == ["There is a 1.5 cm nodule.", "The heart is normal."]
+
+    def test_exact_dedup_order_preserving(self):
+        out = remove_duplicate_sentences(["A b.", "C d.", "A b.", "E f."])
+        assert out == ["A b.", "C d.", "E f."]
+
+    def test_soft_dedup_removes_shorter(self):
+        sents = ["The cardiomediastinal silhouette is normal today.",
+                 "The cardiomediastinal silhouette is normal.",
+                 "Lungs are clear."]
+
+        def sim(pairs):
+            return [0.95 if ("cardiomediastinal" in a and "cardiomediastinal" in b)
+                    else 0.1 for a, b in pairs]
+
+        out = remove_duplicate_sentences(sents, sim)
+        assert out == ["The cardiomediastinal silhouette is normal today.",
+                       "Lungs are clear."]
+
+    def test_soft_dedup_tie_removes_first(self):
+        sents = ["Aaaa bbbb.", "Cccc dddd."]  # equal length
+
+        def sim(pairs):
+            return [1.0]
+
+        out = remove_duplicate_sentences(sents, sim)
+        assert out == ["Cccc dddd."]  # reference removes s1 on ties
+
+    def test_assemble(self):
+        report = assemble_report(["The heart is normal.", "The heart is normal.",
+                                  "Lungs are clear."])
+        assert report == "The heart is normal. Lungs are clear."
+
+    def test_removed_sentence_cannot_remove_others(self):
+        # s0 removes s1; s1 (removed) must not remove s2 even if similar
+        sents = ["Aaaaaaaaaa.", "Bbbb.", "Cc."]
+
+        def sim(pairs):
+            # (0,1) similar, (1,2) similar, (0,2) not
+            table = {0: 0.95, 1: 0.05, 2: 0.95}
+            return [table[i] for i in range(len(pairs))]
+
+        out = remove_duplicate_sentences(sents, sim)
+        assert out == ["Aaaaaaaaaa.", "Cc."]

@@ -1,0 +1,195 @@
+"""Training-stack tests: matcher vs oracle, sampler invariants, loss
+formulas vs torch.nn.functional, end-to-end train step."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as tF
+
+from rgrg_tpu.core.config import (DecoderConfig, DetectorConfig, ModelConfig,
+                                  RPNConfig, RoIConfig, TrainConfig)
+from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.train import assign, losses as L, trainer
+
+from tests.test_ops import random_boxes
+from tests.oracles import iou_single
+
+
+def matcher_oracle(gt, anchors, high, low, allow_low_quality):
+    """Direct numpy translation of the torchvision Matcher pseudocode."""
+    g, n = gt.shape[0], anchors.shape[0]
+    iou = np.array([[iou_single(gt[i].astype(np.float64), anchors[j].astype(np.float64))
+                     for j in range(n)] for i in range(g)])
+    matched_vals = iou.max(axis=0)
+    matches = iou.argmax(axis=0)
+    all_matches = matches.copy()
+    matches = np.where(matched_vals < low, assign.BELOW_LOW, matches)
+    matches = np.where((matched_vals >= low) & (matched_vals < high),
+                       assign.BETWEEN, matches)
+    if allow_low_quality:
+        highest = iou.max(axis=1)
+        for gi in range(g):
+            for aj in range(n):
+                if iou[gi, aj] == highest[gi]:
+                    matches[aj] = all_matches[aj]
+    return matches
+
+
+class TestMatcher:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        gt = random_boxes(5, extent=128, rng=rng)
+        anchors = random_boxes(200, extent=128, rng=rng)
+        for high, low, lq in [(0.7, 0.3, True), (0.5, 0.5, False)]:
+            want = matcher_oracle(gt, anchors, high, low, lq)
+            got = assign.match_anchors(jnp.asarray(gt), jnp.ones(5, bool),
+                                       jnp.asarray(anchors), high, low, lq)
+            np.testing.assert_array_equal(np.asarray(got.matched_idx), want)
+
+    def test_invalid_gt_never_matches(self):
+        gt = np.array([[0, 0, 50, 50], [0, 0, 50, 50]], np.float32)
+        valid = np.array([True, False])
+        anchors = np.array([[0, 0, 50, 50]], np.float32)
+        got = assign.match_anchors(jnp.asarray(gt), jnp.asarray(valid),
+                                   jnp.asarray(anchors), 0.7, 0.3, True)
+        assert int(got.matched_idx[0]) == 0  # matches the valid gt only
+
+    def test_no_valid_gt_all_background(self):
+        gt = np.zeros((3, 4), np.float32)
+        anchors = random_boxes(20)
+        got = assign.match_anchors(jnp.asarray(gt), jnp.zeros(3, bool),
+                                   jnp.asarray(anchors), 0.7, 0.3, True)
+        assert (np.asarray(got.matched_idx) == assign.BELOW_LOW).all()
+
+
+class TestSampler:
+    def test_counts(self):
+        labels = np.full(1000, -1.0, np.float32)
+        labels[:30] = 1.0
+        labels[30:500] = 0.0
+        pos, neg = assign.sample_pos_neg(jax.random.PRNGKey(0),
+                                         jnp.asarray(labels), 256, 0.5)
+        pos, neg = np.asarray(pos), np.asarray(neg)
+        assert pos.sum() == 30          # all positives (< 128 available)
+        assert neg.sum() == 256 - 30    # negatives fill
+        assert not (pos & (labels != 1.0)).any()
+        assert not (neg & (labels != 0.0)).any()
+
+    def test_caps_positives(self):
+        labels = np.ones(1000, np.float32)
+        labels[500:] = 0.0
+        pos, neg = assign.sample_pos_neg(jax.random.PRNGKey(1),
+                                         jnp.asarray(labels), 256, 0.5)
+        assert np.asarray(pos).sum() == 128
+        assert np.asarray(neg).sum() == 128
+
+    def test_randomness(self):
+        labels = np.ones(100, np.float32)
+        m1, _ = assign.sample_pos_neg(jax.random.PRNGKey(0), jnp.asarray(labels), 64, 0.5)
+        m2, _ = assign.sample_pos_neg(jax.random.PRNGKey(7), jnp.asarray(labels), 64, 0.5)
+        assert (np.asarray(m1) != np.asarray(m2)).any()
+
+
+class TestLossFormulas:
+    def test_smooth_l1_matches_torch(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 1, (40,)).astype(np.float32)
+        b = rng.normal(0, 1, (40,)).astype(np.float32)
+        got = np.asarray(L.smooth_l1(jnp.asarray(a), jnp.asarray(b), 1 / 9))
+        want = tF.smooth_l1_loss(torch.from_numpy(a), torch.from_numpy(b),
+                                 beta=1 / 9, reduction="none").numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_bce_pos_weight_matches_torch(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 2, (50,)).astype(np.float32)
+        y = (rng.uniform(size=50) > 0.6).astype(np.float32)
+        got = np.asarray(L.bce_with_logits(jnp.asarray(x), jnp.asarray(y), 2.2)).mean()
+        want = tF.binary_cross_entropy_with_logits(
+            torch.from_numpy(x), torch.from_numpy(y),
+            pos_weight=torch.tensor([2.2])).item()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_classifier_loss_masking(self):
+        logits = jnp.asarray(np.random.default_rng(2).normal(0, 1, (2, 29)).astype(np.float32))
+        targets = jnp.zeros((2, 29))
+        detected = jnp.zeros((2, 29), bool).at[0, :5].set(True)
+        loss = L.classifier_loss(logits, targets, detected, 2.2)
+        want = tF.binary_cross_entropy_with_logits(
+            torch.from_numpy(np.asarray(logits)[0, :5]), torch.zeros(5),
+            pos_weight=torch.tensor([2.2])).item()
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+TINY_DEC = DecoderConfig(vocab_size=50, hidden_dim=16, num_heads=2, num_layers=2,
+                         max_positions=64, bos_token_id=0, eos_token_id=0,
+                         pad_token_id=0, image_feature_dim=1024)
+TRAIN_CFG = ModelConfig(
+    detector=DetectorConfig(rpn=RPNConfig(pre_nms_top_n_train=64,
+                                          post_nms_top_n_train=64,
+                                          pre_nms_top_n_test=32,
+                                          post_nms_top_n_test=32),
+                            roi=RoIConfig(batch_size_per_image=32)),
+    decoder=TINY_DEC)
+
+
+def _batch(b=2, s=8):
+    rng = np.random.default_rng(0)
+    boxes = np.stack([random_boxes(29, rng=rng) for _ in range(b)])
+    return {
+        "images": jnp.asarray(rng.normal(0, 0.3, (b, 512, 512, 1)).astype(np.float32)),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_labels": jnp.asarray(np.tile(np.arange(1, 30), (b, 1))),
+        "gt_valid": jnp.ones((b, 29), bool),
+        "input_ids": jnp.asarray(rng.integers(1, 50, (b, 29, s)).astype(np.int32)),
+        "attention_mask": jnp.asarray((rng.uniform(size=(b, 29, s)) > 0.2).astype(np.float32)),
+        "region_has_sentence": jnp.asarray(rng.uniform(size=(b, 29)) > 0.5),
+        "region_is_abnormal": jnp.asarray(rng.uniform(size=(b, 29)) > 0.8),
+    }
+
+
+class TestTrainStep:
+    def test_stage3_step_runs_and_updates(self):
+        model = RGRG(cfg=TRAIN_CFG)
+        tcfg = TrainConfig(grad_accumulation_steps=1, learning_rate=1e-3)
+        state, opt = trainer.init_train_state(model, jax.random.PRNGKey(0), tcfg, stage=3)
+        step = trainer.make_train_step(model, tcfg, opt, stage=3, lm_budget=16)
+        batch = _batch()
+
+        p0 = jax.tree.map(np.asarray, state.params)
+        state2, losses = step(state, batch, jax.random.PRNGKey(1))
+        assert all(np.isfinite(float(v)) for v in losses.values()), losses
+        assert {"loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+                "loss_box_reg", "loss_selection", "loss_abnormal",
+                "loss_lm", "loss_total"} <= set(losses)
+
+        # frozen GPT-2 base unchanged; uk/uv and detector moved
+        p1 = state2.params
+        same = np.array_equal(np.asarray(p1["decoder"]["h_0"]["attn"]["c_attn"]["kernel"]),
+                              p0["decoder"]["h_0"]["attn"]["c_attn"]["kernel"])
+        assert same, "frozen c_attn must not update"
+        moved_uk = not np.array_equal(
+            np.asarray(p1["decoder"]["h_0"]["attn"]["uk"]["kernel"]),
+            p0["decoder"]["h_0"]["attn"]["uk"]["kernel"])
+        assert moved_uk, "uk must train in stage 3"
+        moved_det = not np.array_equal(
+            np.asarray(p1["detector"]["params"]["dim_reduction"]["kernel"]),
+            p0["detector"]["params"]["dim_reduction"]["kernel"])
+        assert moved_det
+
+        # batch stats advanced via the BN path, not the optimizer
+        bs0 = p0["detector"]["batch_stats"]["backbone"]["bn1"]["mean"]
+        bs1 = np.asarray(p1["detector"]["batch_stats"]["backbone"]["bn1"]["mean"])
+        assert not np.array_equal(bs0, bs1)
+
+    def test_stage1_detector_only(self):
+        model = RGRG(cfg=TRAIN_CFG)
+        tcfg = TrainConfig(grad_accumulation_steps=1)
+        state, opt = trainer.init_train_state(model, jax.random.PRNGKey(0), tcfg, stage=1)
+        step = trainer.make_train_step(model, tcfg, opt, stage=1)
+        state2, losses = step(state, _batch(), jax.random.PRNGKey(1))
+        assert "loss_lm" not in losses and "loss_selection" not in losses
+        assert np.isfinite(float(losses["loss_total"]))
