@@ -64,13 +64,17 @@ class RGRG:
             params["detector"], images, train=False,
             logit_threshold=self.cfg.classifier.logit_threshold)
 
-    @functools.partial(jax.jit, static_argnames=("self", "r_budget", "max_length", "precision"))
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "r_budget", "max_length", "precision", "num_beams",
+        "early_stopping"))
     def decode_selected(self, params: Dict[str, Any],
                         region_features: jnp.ndarray,
                         selected_regions: jnp.ndarray,
                         r_budget: int, max_length: int,
-                        precision=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Compact selected regions to r_budget rows, greedy-decode, scatter.
+                        precision=None, num_beams: int = 1,
+                        early_stopping: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact selected regions to r_budget rows, decode (greedy or
+        beam), scatter back.
 
         region_features: [B, 29, 1024]; selected_regions: [B, 29] bool.
         Returns (output_ids [B, 29, max_length], decoded_mask [B, 29]):
@@ -85,9 +89,17 @@ class RGRG:
         active = sel[idx]
         feats = flat_feats[idx]
 
-        ids = greedy_generate(params["decoder"], feats, self.cfg.decoder,
-                              max_length=max_length, precision=precision,
-                              active=active)  # [r_budget, L]
+        if num_beams > 1:
+            from rgrg_tpu.decode.beam import beam_generate
+            ids = beam_generate(params["decoder"], feats, self.cfg.decoder,
+                                max_length=max_length, num_beams=num_beams,
+                                length_penalty=self.cfg.generation.length_penalty,
+                                early_stopping=early_stopping,
+                                precision=precision, active=active)
+        else:
+            ids = greedy_generate(params["decoder"], feats, self.cfg.decoder,
+                                  max_length=max_length, precision=precision,
+                                  active=active)  # [r_budget, L]
 
         out = jnp.full((b * C.NUM_REGIONS, max_length),
                        self.cfg.decoder.pad_token_id, jnp.int32)
@@ -110,12 +122,15 @@ class RGRG:
 
     def generate(self, params: Dict[str, Any], images: jnp.ndarray,
                  max_length: Optional[int] = None,
+                 num_beams: int = 1, early_stopping: bool = False,
                  precision=None) -> Dict[str, Any]:
-        """Full inference for a batch of images (greedy decoding).
+        """Full inference for a batch of images.
 
         Equivalent surface to reference ReportGenerationModel.generate
         (report_generation_model.py:212-276): returns output ids per selected
         region plus detections / masks for mapping sentences to regions.
+        num_beams=1 is greedy; the reference product default is beam 4 with
+        early stopping (generate_reports_for_images.py:109-114).
         """
         if max_length is None:
             max_length = self.cfg.generation.max_length
@@ -126,7 +141,8 @@ class RGRG:
         r_budget = self.budget_for(num_selected, b)
         output_ids, decoded_mask = self.decode_selected(
             params, det["region_features"], sel, r_budget, max_length,
-            precision=precision)
+            precision=precision, num_beams=num_beams,
+            early_stopping=early_stopping)
         return {
             "output_ids": output_ids,            # [B, 29, L]
             "selected_regions": np.asarray(sel),

@@ -230,16 +230,21 @@ def init_cache(batch: int, max_len: int, cfg: DecoderConfig,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def prefill(params: Params, image_features: jnp.ndarray, bos_token: int,
+def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: int,
             max_len: int, cfg: DecoderConfig, precision=None,
-            cache_dtype=jnp.float32):
+            cache_dtype=jnp.float32, batch: Optional[int] = None):
     """Start generation: write image K/V to slot 0 and the BOS token's K/V to
     slot 1 of every layer; return (logits [B, vocab] for the BOS position,
     cache). Generation always starts from a single BOS with an all-ones mask
     (language_model.py:417-420), so this prefill covers exactly one position.
+
+    image_features=None runs vanilla GPT-2 (pass `batch`): slot 0 stays zero
+    and is masked out here and in decode_step (no_image=True).
     """
-    b = image_features.shape[0]
-    img = feature_transform(params, image_features, precision)[:, None, :]
+    with_image = image_features is not None
+    b = image_features.shape[0] if with_image else batch
+    if with_image:
+        img = feature_transform(params, image_features, precision)[:, None, :]
     cache = init_cache(b, max_len, cfg, cache_dtype)
 
     ids = jnp.full((b, 1), bos_token, jnp.int32)
@@ -248,10 +253,6 @@ def prefill(params: Params, image_features: jnp.ndarray, bos_token: int,
 
     for i in range(cfg.num_layers):
         bp = params[f"h_{i}"]
-        k_img = _split_heads(_dense(img, bp["attn"]["uk"], precision),
-                             cfg.num_heads, cfg.head_dim)       # [B,H,1,D]
-        v_img = _split_heads(_dense(img, bp["attn"]["uv"], precision),
-                             cfg.num_heads, cfg.head_dim)
         x_norm = _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps)
         qkv = _dense(x_norm, bp["attn"]["c_attn"], precision)
         q, k_w, v_w = jnp.split(qkv, 3, axis=-1)
@@ -259,12 +260,24 @@ def prefill(params: Params, image_features: jnp.ndarray, bos_token: int,
         kh = _split_heads(k_w, cfg.num_heads, cfg.head_dim)
         vh = _split_heads(v_w, cfg.num_heads, cfg.head_dim)
 
+        if with_image:
+            k_img = _split_heads(_dense(img, bp["attn"]["uk"], precision),
+                                 cfg.num_heads, cfg.head_dim)    # [B,H,1,D]
+            v_img = _split_heads(_dense(img, bp["attn"]["uv"], precision),
+                                 cfg.num_heads, cfg.head_dim)
+        else:
+            k_img = jnp.zeros_like(kh)
+            v_img = jnp.zeros_like(vh)
+
         k01 = jnp.concatenate([k_img, kh], axis=2)               # [B,H,2,D]
         v01 = jnp.concatenate([v_img, vh], axis=2)
         cache["k"] = cache["k"].at[i, :, :, 0:2, :].set(k01.astype(cache_dtype))
         cache["v"] = cache["v"].at[i, :, :, 0:2, :].set(v01.astype(cache_dtype))
 
-        bias = jnp.zeros((1, 1, 1, 2), x.dtype)  # image + self, both visible
+        if with_image:
+            bias = jnp.zeros((1, 1, 1, 2), x.dtype)  # image + self visible
+        else:
+            bias = jnp.asarray([[[[MASK_VALUE, 0.0]]]], x.dtype)
         a = _attention(qh, k01, v01, bias, precision)
         x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
@@ -278,7 +291,7 @@ def prefill(params: Params, image_features: jnp.ndarray, bos_token: int,
 
 def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                 cache: Dict[str, jnp.ndarray], cfg: DecoderConfig,
-                precision=None):
+                precision=None, no_image: bool = False):
     """One generation step.
 
     token: [B] token ids generated at position `step` (0-based over
@@ -297,6 +310,8 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     # visibility: slots 0..step+2 inclusive hold data after this step's write
     slot = step + 2
     visible = jnp.arange(t_total)[None, None, None, :] <= slot
+    if no_image:
+        visible = visible & (jnp.arange(t_total)[None, None, None, :] != 0)
     bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
 
     for i in range(cfg.num_layers):

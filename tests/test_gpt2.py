@@ -17,7 +17,7 @@ from rgrg_tpu.models import gpt2
 
 TINY = DecoderConfig(vocab_size=50, hidden_dim=16, num_heads=2, num_layers=2,
                      max_positions=64, bos_token_id=0, eos_token_id=0,
-                     pad_token_id=0)
+                     pad_token_id=0, image_feature_dim=16)
 
 
 def np_layer_norm(x, p, eps):
