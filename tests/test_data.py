@@ -1,0 +1,108 @@
+"""Data pipeline tests: transform numerics and batch assembly."""
+
+import os
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+from rgrg_tpu.core import constants as C
+from rgrg_tpu.data import transforms as T
+from rgrg_tpu.data.dataset import RGRGDataset, read_split_csv
+from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+
+
+class TestTransforms:
+    def test_longest_max_size_scales_boxes(self):
+        img = np.zeros((1024, 768), np.uint8)
+        boxes = np.array([[100, 200, 300, 400]], np.float32)
+        out, b = T.longest_max_size(img, 512, boxes)
+        assert max(out.shape) == 512
+        assert out.shape == (512, 384)
+        np.testing.assert_allclose(b, boxes * 0.5)
+
+    def test_pad_centers(self):
+        img = np.ones((512, 384), np.uint8)
+        boxes = np.array([[0, 0, 10, 10]], np.float32)
+        out, b = T.pad_to_square(img, 512, boxes)
+        assert out.shape == (512, 512)
+        # left pad = (512-384)//2 = 64
+        np.testing.assert_allclose(b, [[64, 0, 74, 10]])
+        assert out[:, :64].sum() == 0 and out[:, 64:448].all()
+
+    def test_normalize_matches_albumentations_formula(self):
+        img = np.array([[0, 128, 255]], np.uint8)
+        out = T.normalize(img, T.TransformConfig())
+        want = (img.astype(np.float32) - 0.471 * 255) / (0.302 * 255)
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+    def test_val_transform_shapes(self):
+        img = (np.random.default_rng(0).uniform(0, 255, (900, 700))).astype(np.uint8)
+        boxes = np.array([[10, 10, 600, 800]], np.float32)
+        out, b = T.val_transform(img, boxes)
+        assert out.shape == (512, 512, 1)
+        assert out.dtype == np.float32
+        assert (b >= 0).all() and (b <= 512).all()
+
+    def test_train_transform_deterministic_given_rng(self):
+        img = (np.random.default_rng(1).uniform(0, 255, (640, 480))).astype(np.uint8)
+        boxes = np.array([[50, 50, 300, 400]], np.float32)
+        a1, b1 = T.train_transform(img, boxes, np.random.default_rng(7))
+        a2, b2 = T.train_transform(img, boxes, np.random.default_rng(7))
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+        assert a1.shape == (512, 512, 1)
+
+
+class TestDataset:
+    @pytest.fixture
+    def csv_path(self, tmp_path):
+        # two synthetic grayscale images + csv rows with 3 boxes each
+        rows = []
+        for i in range(3):
+            p = str(tmp_path / f"img{i}.png")
+            img = (np.random.default_rng(i).uniform(0, 255, (600, 500))).astype(np.uint8)
+            cv2.imwrite(p, img)
+            rows.append({
+                "mimic_image_file_path": p,
+                "bbox_coordinates": str([[10, 10, 100, 100], [50, 60, 300, 200],
+                                         [5, 5, 480, 590]]),
+                "bbox_labels": str([1, 5, 17]),
+                "bbox_phrases": str(["The heart is normal."] + [""] * 28),
+                "bbox_phrase_exists": str([True] + [False] * 28),
+                "bbox_is_abnormal": str([False] * 29),
+                "reference_report": "The heart is normal.",
+            })
+        path = str(tmp_path / "split.csv")
+        pd.DataFrame(rows).to_csv(path, index=False)
+        return path
+
+    def test_batches(self, csv_path):
+        df = read_split_csv(csv_path)
+        ds = RGRGDataset(df, GPT2Tokenizer.dummy(), train=False, seq_len=32)
+        batches = list(ds.batches(batch_size=2, drop_last=True))
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["images"].shape == (2, 512, 512, 1)
+        assert b["gt_boxes"].shape == (2, 29, 4)
+        assert b["gt_valid"].sum() == 6  # 3 boxes per image
+        # labels scattered to their slots
+        assert b["gt_labels"][0, 0] == 1 and b["gt_labels"][0, 4] == 5
+        assert b["gt_valid"][0, [0, 4, 16]].all()
+        assert b["input_ids"].shape == (2, 29, 32)
+        assert b["region_has_sentence"][0, 0] and not b["region_has_sentence"][0, 1]
+        assert b["reference_reports"][0].startswith("The heart")
+
+    def test_bad_image_skipped(self, csv_path, tmp_path):
+        df = read_split_csv(csv_path)
+        df.loc[0, "mimic_image_file_path"] = str(tmp_path / "missing.png")
+        ds = RGRGDataset(df, GPT2Tokenizer.dummy(), train=False)
+        batches = list(ds.batches(batch_size=2, drop_last=True))
+        assert len(batches) == 1  # 2 good samples remain
+
+    def test_train_mode_augments(self, csv_path):
+        df = read_split_csv(csv_path)
+        ds = RGRGDataset(df, None, train=True)
+        s = ds[0]
+        assert s.image.shape == (512, 512, 1)
