@@ -1,0 +1,319 @@
+"""Evaluation drivers: validation / test-set evaluation + bbox-variation
+robustness, mirroring the reference's harnesses:
+
+  - detector metrics (evaluate_model.py:216-283): per-region micro-IoU
+    (summed intersection / summed union of the top-1 box vs gt, over
+    detected∧gt-present pairs), per-region detection frequency, average
+    detected regions per image;
+  - binary-classifier P/R/F1 on detected regions (selection vs
+    region_has_sentence; abnormal vs region_is_abnormal);
+  - language metrics: generated region sentences -> NLG scores (sentence
+    and report level) and CheXbert CE scores; sentence-region mapping is
+    trivial here because decode output is already [B, 29, L] (the
+    reference reconstructs it with a cumsum trick,
+    evaluate_language_model.py:605-666);
+  - bbox-variation robustness (evaluate_bbox_variations.py): perturb gt
+    boxes by position/scale/aspect-ratio noise of increasing std, RoI-pool
+    features directly from the perturbed boxes (RPN bypassed), decode, and
+    track sentence METEOR vs std.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgrg_tpu.core import constants as C
+from rgrg_tpu.eval import nlg
+from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.text.report import assemble_report
+from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+
+
+# ---------------------------------------------------------------------------
+# detector + classifier metric accumulators
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DetectorMetrics:
+    intersection: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(C.NUM_REGIONS))
+    union: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(C.NUM_REGIONS))
+    detected: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(C.NUM_REGIONS))
+    gt_present: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(C.NUM_REGIONS))
+    images: int = 0
+
+    def update(self, pred_boxes: np.ndarray, class_detected: np.ndarray,
+               gt_boxes: np.ndarray, gt_valid: np.ndarray) -> None:
+        """All arrays batched: [B, 29, 4] / [B, 29] ..."""
+        both = class_detected & gt_valid
+        x1 = np.maximum(pred_boxes[..., 0], gt_boxes[..., 0])
+        y1 = np.maximum(pred_boxes[..., 1], gt_boxes[..., 1])
+        x2 = np.minimum(pred_boxes[..., 2], gt_boxes[..., 2])
+        y2 = np.minimum(pred_boxes[..., 3], gt_boxes[..., 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_p = ((pred_boxes[..., 2] - pred_boxes[..., 0])
+                  * (pred_boxes[..., 3] - pred_boxes[..., 1]))
+        area_g = ((gt_boxes[..., 2] - gt_boxes[..., 0])
+                  * (gt_boxes[..., 3] - gt_boxes[..., 1]))
+        union = area_p + area_g - inter
+        self.intersection += np.where(both, inter, 0.0).sum(axis=0)
+        self.union += np.where(both, union, 0.0).sum(axis=0)
+        self.detected += class_detected.sum(axis=0)
+        self.gt_present += gt_valid.sum(axis=0)
+        self.images += pred_boxes.shape[0]
+
+    def compute(self) -> Dict[str, Any]:
+        iou = np.divide(self.intersection, self.union,
+                        out=np.zeros_like(self.intersection),
+                        where=self.union > 0)
+        freq = self.detected / max(self.images, 1)
+        return {
+            "avg_detections_per_image": float(self.detected.sum()) / max(self.images, 1),
+            "avg_iou": float(iou.mean()),
+            "per_region_iou": {C.REGION_NAMES[i]: float(iou[i])
+                               for i in range(C.NUM_REGIONS)},
+            "per_region_detection_freq": {C.REGION_NAMES[i]: float(freq[i])
+                                          for i in range(C.NUM_REGIONS)},
+        }
+
+
+@dataclasses.dataclass
+class BinaryMetrics:
+    """P/R/F1 of the positive class over detected regions
+    (evaluate_model.py:344-357 rationale)."""
+    tp: int = 0
+    fp: int = 0
+    fn: int = 0
+
+    def update(self, pred: np.ndarray, target: np.ndarray,
+               mask: np.ndarray) -> None:
+        p = pred & mask
+        t = target & mask
+        self.tp += int((p & t).sum())
+        self.fp += int((p & ~t).sum())
+        self.fn += int((~p & t).sum())
+
+    def compute(self) -> Dict[str, float]:
+        prec = self.tp / (self.tp + self.fp) if self.tp + self.fp else 0.0
+        rec = self.tp / (self.tp + self.fn) if self.tp + self.fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        return {"precision": prec, "recall": rec, "f1": f1}
+
+
+# ---------------------------------------------------------------------------
+# language metrics collection
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SentenceCollector:
+    """Pairs generated and reference sentences at (image, region)
+    granularity, with the region-abnormality split the reference tracks."""
+    gen_sents: List[str] = dataclasses.field(default_factory=list)
+    ref_sents: List[str] = dataclasses.field(default_factory=list)
+    is_abnormal: List[bool] = dataclasses.field(default_factory=list)
+    region_ids: List[int] = dataclasses.field(default_factory=list)
+    gen_reports: List[str] = dataclasses.field(default_factory=list)
+    ref_reports: List[str] = dataclasses.field(default_factory=list)
+
+    def add_batch(self, output_ids: np.ndarray, decoded_mask: np.ndarray,
+                  tokenizer: GPT2Tokenizer,
+                  reference_phrases: Sequence[Sequence[str]],
+                  region_is_abnormal: Optional[np.ndarray] = None,
+                  reference_reports: Optional[Sequence[str]] = None,
+                  similarity_fn=None, threshold: float = 0.9) -> None:
+        b = output_ids.shape[0]
+        for i in range(b):
+            ordered = []
+            for r in range(C.NUM_REGIONS):
+                if decoded_mask[i, r]:
+                    text = tokenizer.decode(output_ids[i, r],
+                                            skip_special_tokens=True)
+                    ordered.append(text)
+                    ref = reference_phrases[i][r]
+                    if ref:  # only score regions with a gt sentence
+                        self.gen_sents.append(text)
+                        self.ref_sents.append(ref)
+                        self.region_ids.append(r)
+                        if region_is_abnormal is not None:
+                            self.is_abnormal.append(bool(region_is_abnormal[i, r]))
+            if reference_reports is not None and reference_reports[i]:
+                self.gen_reports.append(
+                    assemble_report(ordered, similarity_fn, threshold))
+                self.ref_reports.append(reference_reports[i])
+
+    def compute(self, metrics=("bleu", "meteor", "rouge", "cider"),
+                cider_df=None, cider_log_n=None) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        if self.gen_sents:
+            meteor = nlg.Meteor()
+            cands = [nlg.pycoco_tokenize(t) for t in self.gen_sents]
+            refs = [[nlg.pycoco_tokenize(t)] for t in self.ref_sents]
+            pair_scores = [meteor.score_pair(c, r[0]) for c, r in zip(cands, refs)]
+            out["sentence"] = {"meteor": float(np.mean(pair_scores))}
+            if self.is_abnormal:
+                ab = np.asarray(self.is_abnormal)
+                ps = np.asarray(pair_scores)
+                if ab.any():
+                    out["sentence"]["meteor_abnormal"] = float(ps[ab].mean())
+                if (~ab).any():
+                    out["sentence"]["meteor_normal"] = float(ps[~ab].mean())
+            per_region: Dict[str, float] = {}
+            rid = np.asarray(self.region_ids)
+            ps = np.asarray(pair_scores)
+            for r in range(C.NUM_REGIONS):
+                m = rid == r
+                if m.any():
+                    per_region[C.REGION_NAMES[r]] = float(ps[m].mean())
+            out["sentence"]["per_region_meteor"] = per_region
+        if self.gen_reports:
+            out["report"] = nlg.compute_nlg_scores(
+                metrics, self.gen_reports, self.ref_reports,
+                cider_df=cider_df, cider_log_n=cider_log_n)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+def evaluate_model(model: RGRG, params: Dict[str, Any],
+                   batches: Iterable[Dict[str, Any]],
+                   tokenizer: Optional[GPT2Tokenizer] = None,
+                   generate_language: bool = True,
+                   num_beams: int = 1, max_length: int = 64,
+                   max_language_batches: int = 100,
+                   similarity_fn=None,
+                   chexbert: Optional[Callable[[List[str]], np.ndarray]] = None,
+                   ) -> Dict[str, Any]:
+    """Full validation pass: detector + classifier metrics over all batches;
+    language generation/metrics over <= max_language_batches (the reference
+    caps at 100, evaluate_language_model.py:1184-1206).
+
+    chexbert: optional callable reports -> [14, N] labels for CE scores.
+    """
+    det_metrics = DetectorMetrics()
+    sel_metrics = BinaryMetrics()
+    abn_metrics = BinaryMetrics()
+    collector = SentenceCollector()
+
+    for bi, batch in enumerate(batches):
+        det = model.detect(params, jnp.asarray(batch["images"]))
+        class_detected = np.asarray(det["class_detected"])
+        det_metrics.update(np.asarray(det["top_region_boxes"]), class_detected,
+                           batch["gt_boxes"], batch["gt_valid"])
+        if "region_has_sentence" in batch:
+            sel_metrics.update(np.asarray(det["selected_regions"]),
+                               batch["region_has_sentence"].astype(bool),
+                               class_detected)
+            abn_metrics.update(np.asarray(det["predicted_abnormal"]),
+                               batch["region_is_abnormal"].astype(bool),
+                               class_detected)
+
+        if (generate_language and tokenizer is not None
+                and bi < max_language_batches and "reference_phrases" in batch):
+            sel = det["selected_regions"]
+            r_budget = model.budget_for(int(jnp.sum(sel)), batch["images"].shape[0])
+            ids, decoded = model.decode_selected(
+                params, det["region_features"], sel, r_budget, max_length,
+                num_beams=num_beams)
+            collector.add_batch(np.asarray(ids), np.asarray(decoded), tokenizer,
+                                batch["reference_phrases"],
+                                batch.get("region_is_abnormal"),
+                                batch.get("reference_reports"),
+                                similarity_fn=similarity_fn)
+
+    out: Dict[str, Any] = {
+        "object_detector": det_metrics.compute(),
+        "region_selection": sel_metrics.compute(),
+        "region_abnormal": abn_metrics.compute(),
+    }
+    out.update(collector.compute())
+    if chexbert is not None and collector.gen_reports:
+        from rgrg_tpu.eval.chexbert import compute_ce_scores
+        gen_labels = chexbert(collector.gen_reports)
+        ref_labels = chexbert(collector.ref_reports)
+        out.setdefault("report", {})["CE"] = compute_ce_scores(gen_labels, ref_labels)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bbox variation robustness (evaluate_bbox_variations.py)
+# ---------------------------------------------------------------------------
+
+def perturb_boxes(boxes: np.ndarray, rng: np.random.Generator, mode: str,
+                  std: float, image_size: int = C.IMAGE_SIZE) -> np.ndarray:
+    """Perturb [.., 4] xyxy boxes: 'position' shifts the center by
+    N(0, std*dim); 'scale' rescales w/h by exp(N(0, std)); 'aspect' scales
+    w by exp(N) and h by exp(-N) keeping the area
+    (evaluate_bbox_variations.py:219-357 semantics)."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    cx = boxes[..., 0] + w / 2
+    cy = boxes[..., 1] + h / 2
+    if mode == "position":
+        cx = cx + rng.normal(0, std, cx.shape) * w
+        cy = cy + rng.normal(0, std, cy.shape) * h
+    elif mode == "scale":
+        f = np.exp(rng.normal(0, std, w.shape))
+        w, h = w * f, h * f
+    elif mode == "aspect":
+        f = np.exp(rng.normal(0, std, w.shape))
+        w, h = w * f, h / f
+    else:
+        raise ValueError(mode)
+    out = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    out = np.clip(out, 0, image_size)
+    # keep degenerate boxes minimally valid
+    out[..., 2] = np.maximum(out[..., 2], out[..., 0] + 1e-2)
+    out[..., 3] = np.maximum(out[..., 3], out[..., 1] + 1e-2)
+    return out.astype(np.float32)
+
+
+def evaluate_bbox_variations(model: RGRG, params: Dict[str, Any],
+                             batches: Iterable[Dict[str, Any]],
+                             tokenizer: GPT2Tokenizer, mode: str,
+                             stds: Sequence[float] = tuple(np.arange(0, 2.0, 0.1)),
+                             max_length: int = 64, num_beams: int = 1,
+                             seed: int = 0) -> Dict[float, float]:
+    """For each noise std: perturb gt boxes, RoI-pool features directly from
+    them (RPN bypassed), decode, score sentence METEOR. Returns
+    {std: meteor}."""
+    cached = [b for b in batches]
+    meteor = nlg.Meteor()
+    results: Dict[float, float] = {}
+    det_mod = model.detector
+    variables = params["detector"]
+
+    for std in stds:
+        rng = np.random.default_rng(seed)
+        scores = []
+        for batch in cached:
+            boxes = perturb_boxes(batch["gt_boxes"], rng, mode, float(std))
+            feats = det_mod.apply(variables, jnp.asarray(batch["images"]),
+                                  method=det_mod.backbone_features)
+            region_feats = det_mod.apply(variables, feats, jnp.asarray(boxes),
+                                         method=det_mod.region_features_from_boxes)
+            valid = jnp.asarray(batch["gt_valid"]
+                                & batch["region_has_sentence"].astype(bool))
+            ids, decoded = model.decode_selected(
+                {"decoder": params["decoder"]}, region_feats, valid,
+                model.budget_for(int(valid.sum()), boxes.shape[0]),
+                max_length, num_beams=num_beams)
+            ids, decoded = np.asarray(ids), np.asarray(decoded)
+            for i in range(boxes.shape[0]):
+                for r in range(C.NUM_REGIONS):
+                    if decoded[i, r] and batch["reference_phrases"][i][r]:
+                        gen = tokenizer.decode(ids[i, r], skip_special_tokens=True)
+                        scores.append(meteor.score_pair(
+                            nlg.pycoco_tokenize(gen),
+                            nlg.pycoco_tokenize(batch["reference_phrases"][i][r])))
+        results[float(std)] = float(np.mean(scores)) if scores else 0.0
+    return results

@@ -1,0 +1,116 @@
+"""Evaluator driver tests with the tiny model."""
+
+import numpy as np
+import cv2
+import jax
+import pytest
+
+from rgrg_tpu.core import constants as C
+from rgrg_tpu.eval.evaluator import (BinaryMetrics, DetectorMetrics,
+                                     evaluate_bbox_variations, evaluate_model,
+                                     perturb_boxes)
+from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+
+from tests.test_full_model import SMOKE_CFG
+from tests.test_ops import random_boxes
+
+
+class TestAccumulators:
+    def test_detector_metrics_iou(self):
+        m = DetectorMetrics()
+        pred = np.zeros((1, 29, 4))
+        gt = np.zeros((1, 29, 4))
+        pred[0, 0] = [0, 0, 10, 10]
+        gt[0, 0] = [0, 0, 10, 20]     # inter 100, union 200
+        detected = np.zeros((1, 29), bool)
+        detected[0, 0] = True
+        valid = detected.copy()
+        m.update(pred, detected, gt, valid)
+        out = m.compute()
+        assert out["per_region_iou"]["right lung"] == pytest.approx(0.5)
+        assert out["avg_detections_per_image"] == 1.0
+
+    def test_binary_metrics(self):
+        m = BinaryMetrics()
+        pred = np.array([[True, True, False, False]])
+        targ = np.array([[True, False, True, False]])
+        mask = np.ones((1, 4), bool)
+        m.update(pred, targ, mask)
+        out = m.compute()
+        assert out["precision"] == pytest.approx(0.5)
+        assert out["recall"] == pytest.approx(0.5)
+
+    def test_mask_excludes(self):
+        m = BinaryMetrics()
+        pred = np.array([[True]])
+        targ = np.array([[False]])
+        m.update(pred, targ, np.array([[False]]))
+        assert m.compute() == {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+
+
+class TestPerturb:
+    def test_zero_std_identity(self):
+        boxes = random_boxes(10)[None]
+        out = perturb_boxes(boxes, np.random.default_rng(0), "position", 0.0)
+        np.testing.assert_allclose(out, np.clip(boxes, 0, 512), atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["position", "scale", "aspect"])
+    def test_modes_change_boxes(self, mode):
+        boxes = random_boxes(10)[None]
+        out = perturb_boxes(boxes, np.random.default_rng(0), mode, 0.5)
+        assert np.abs(out - boxes).max() > 1.0
+        assert (out[..., 2] > out[..., 0]).all()
+        assert (out >= 0).all() and (out <= 512).all()
+
+    def test_aspect_preserves_area_roughly(self):
+        boxes = np.array([[[100, 100, 300, 200]]], np.float32)
+        out = perturb_boxes(boxes, np.random.default_rng(1), "aspect", 0.3)
+        a0 = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+        a1 = (out[..., 2] - out[..., 0]) * (out[..., 3] - out[..., 1])
+        np.testing.assert_allclose(a1, a0, rtol=0.05)  # clipping aside
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(2):
+        boxes = np.stack([random_boxes(29, rng=rng)])
+        batches.append({
+            "images": rng.normal(0, 0.3, (1, 512, 512, 1)).astype(np.float32),
+            "gt_boxes": boxes,
+            "gt_labels": np.tile(np.arange(1, 30), (1, 1)),
+            "gt_valid": np.ones((1, 29), bool),
+            "region_has_sentence": np.tile(
+                (np.arange(29) % 3 == 0)[None], (1, 1)),
+            "region_is_abnormal": np.zeros((1, 29), bool),
+            "reference_phrases": [["The heart is normal." if r % 3 == 0 else ""
+                                   for r in range(29)]],
+            "reference_reports": ["The heart is normal."],
+        })
+    return model, params, batches
+
+
+def test_evaluate_model_full(tiny_setup):
+    model, params, batches = tiny_setup
+    out = evaluate_model(model, params, batches, GPT2Tokenizer.dummy(),
+                         max_length=6)
+    assert "object_detector" in out
+    assert 0 <= out["object_detector"]["avg_detections_per_image"] <= 29
+    assert set(out["region_selection"]) == {"precision", "recall", "f1"}
+    # language outputs present (selection may vary with random weights)
+    if "report" in out:
+        assert "bleu_1" in out["report"]
+
+
+def test_bbox_variations(tiny_setup):
+    model, params, batches = tiny_setup
+    res = evaluate_bbox_variations(model, params, batches, GPT2Tokenizer.dummy(),
+                                   mode="position", stds=[0.0, 0.5],
+                                   max_length=6)
+    assert set(res) == {0.0, 0.5}
+    for v in res.values():
+        assert 0.0 <= v <= 1.0
