@@ -26,17 +26,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rgrg_tpu.core.config import ModelConfig
+from rgrg_tpu.core.config import DetectorConfig, ModelConfig
 from rgrg_tpu.models.full_model import RGRG
 
-BATCH = 8
+BATCH = 24
 REGIONS_PER_IMAGE = 6
 SENT_TOKENS = 60
 BASELINE_REPORTS_PER_SEC = 50.0  # BASELINE.json north star
 
 
 def main():
-    cfg = ModelConfig()
+    # serving config: bf16 compute in the detector (params stay f32; box
+    # math stays f32), bf16 decoder params + KV cache
+    cfg = ModelConfig(detector=DetectorConfig(dtype="bfloat16"))
     model = RGRG(cfg=cfg)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng)
@@ -64,7 +66,7 @@ def main():
     run_once().block_until_ready()
     run_once().block_until_ready()
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run_once()

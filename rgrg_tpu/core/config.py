@@ -92,6 +92,10 @@ class DetectorConfig:
     roi: RoIConfig = RoIConfig()
     num_classes: int = C.NUM_DETECTOR_CLASSES  # 29 regions + background
     image_size: int = C.IMAGE_SIZE
+    # computation dtype for conv/dense/RoIAlign ("bfloat16" for serving —
+    # halves HBM traffic of the pooled-feature materialization and runs the
+    # MXU at full bf16 rate; "float32" for parity testing). Params stay f32.
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,10 +16,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data",
+              batch_size: Optional[int] = None) -> Mesh:
+    """1-D data mesh. With batch_size given, clamps the mesh to the largest
+    device count that divides the batch (sharding requires divisibility)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.array(devices), (axis,))
 
 

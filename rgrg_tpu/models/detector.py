@@ -90,12 +90,15 @@ class RegionDetector(nn.Module):
     cfg: DetectorConfig = DetectorConfig()
 
     def setup(self):
-        self.backbone = ResNetBackbone(stage_sizes=(3, 4, 6, 3), in_channels=1)
+        dtype = jnp.dtype(self.cfg.dtype)
+        self.backbone = ResNetBackbone(stage_sizes=(3, 4, 6, 3), in_channels=1,
+                                       dtype=dtype)
         self.rpn_head = RPNHead(in_channels=C.BACKBONE_CHANNELS,
-                                num_anchors=self.cfg.anchors.num_anchors_per_location)
-        self.box_head = TwoMLPHead(self.cfg.roi.representation_size)
-        self.box_predictor = FastRCNNPredictor(self.cfg.num_classes)
-        self.dim_reduction = nn.Dense(C.REGION_FEATURE_DIM)
+                                num_anchors=self.cfg.anchors.num_anchors_per_location,
+                                dtype=dtype)
+        self.box_head = TwoMLPHead(self.cfg.roi.representation_size, dtype=dtype)
+        self.box_predictor = FastRCNNPredictor(self.cfg.num_classes, dtype=dtype)
+        self.dim_reduction = nn.Dense(C.REGION_FEATURE_DIM, dtype=dtype)
         self.selection_classifier = BinaryClassifierMLP()
         self.abnormal_classifier = BinaryClassifierMLP()
 
@@ -106,6 +109,10 @@ class RegionDetector(nn.Module):
     def rpn_proposals(self, feats: jnp.ndarray, train: bool = False):
         """feats -> (boxes [B, K, 4], keep [B, K], rpn raw outputs)."""
         objectness, deltas = self.rpn_head(feats)
+        # box math always runs in f32: bf16 resolution (~2px at coord 512)
+        # would corrupt proposal geometry and NMS decisions
+        objectness = objectness.astype(jnp.float32)
+        deltas = deltas.astype(jnp.float32)
         anchors = jnp.asarray(anchors_lib.grid_anchors(self.cfg.anchors))
         proposals = box_ops.decode_boxes(
             jax.lax.stop_gradient(deltas), anchors)[..., 0, :]  # [B, N, 4]
@@ -124,11 +131,14 @@ class RegionDetector(nn.Module):
         pooled = jax.vmap(lambda f, b: roi_align(
             f, b, output_size=self.cfg.roi.output_size,
             spatial_scale=1.0 / C.BACKBONE_STRIDE,
-            sampling_ratio=self.cfg.roi.sampling_ratio))(feats, boxes)
+            sampling_ratio=self.cfg.roi.sampling_ratio,
+            compute_dtype=jnp.dtype(self.cfg.dtype)))(feats, boxes)
         box_vecs = self.box_head(pooled)                   # [B, K, 1024]
         class_logits, box_regression = self.box_predictor(box_vecs)
         box_features = pooled.mean(axis=(-3, -2))          # [B, K, 2048] avg-pool 8x8
-        return class_logits, box_regression, box_features
+        return (class_logits.astype(jnp.float32),
+                box_regression.astype(jnp.float32),
+                box_features.astype(jnp.float32))
 
     def region_features_from_boxes(self, feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
         """Arbitrary user boxes -> 1024-d region features (the
@@ -140,9 +150,10 @@ class RegionDetector(nn.Module):
         pooled = jax.vmap(lambda f, b: roi_align(
             f, b, output_size=self.cfg.roi.output_size,
             spatial_scale=1.0 / C.BACKBONE_STRIDE,
-            sampling_ratio=self.cfg.roi.sampling_ratio))(feats, boxes)
+            sampling_ratio=self.cfg.roi.sampling_ratio,
+            compute_dtype=jnp.dtype(self.cfg.dtype)))(feats, boxes)
         box_features = pooled.mean(axis=(-3, -2))
-        return self.dim_reduction(box_features)
+        return self.dim_reduction(box_features).astype(jnp.float32)
 
     def train_forward(self, images: jnp.ndarray, gt_boxes: jnp.ndarray,
                       gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,

@@ -232,7 +232,7 @@ def init_cache(batch: int, max_len: int, cfg: DecoderConfig,
 
 def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: int,
             max_len: int, cfg: DecoderConfig, precision=None,
-            cache_dtype=jnp.float32, batch: Optional[int] = None):
+            cache_dtype=None, batch: Optional[int] = None):
     """Start generation: write image K/V to slot 0 and the BOS token's K/V to
     slot 1 of every layer; return (logits [B, vocab] for the BOS position,
     cache). Generation always starts from a single BOS with an all-ones mask
@@ -243,6 +243,10 @@ def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: in
     """
     with_image = image_features is not None
     b = image_features.shape[0] if with_image else batch
+    if cache_dtype is None:
+        # follow the parameter dtype: bf16 params -> bf16 cache (halves the
+        # per-step HBM cache traffic, the decode bottleneck)
+        cache_dtype = params["wte"]["embedding"].dtype
     if with_image:
         img = feature_transform(params, image_features, precision)[:, None, :]
     cache = init_cache(b, max_len, cfg, cache_dtype)

@@ -23,13 +23,17 @@ class RPNHead(nn.Module):
 
     in_channels: int = 2048
     num_anchors: int = 160
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray):
-        t = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)], name="conv")(feats)
+        t = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name="conv")(feats)
         t = nn.relu(t)
-        objectness = nn.Conv(self.num_anchors, (1, 1), name="cls_logits")(t)
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred")(t)
+        objectness = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                             name="cls_logits")(t)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         name="bbox_pred")(t)
         b = feats.shape[0]
         # [B, H, W, A] -> [B, H*W*A]; [B, H, W, A*4] -> [B, H*W*A, 4]
         objectness = objectness.reshape(b, -1)
@@ -45,22 +49,26 @@ class TwoMLPHead(nn.Module):
     """
 
     representation_size: int = 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
         x = pooled.reshape(pooled.shape[:-3] + (-1,))
-        x = nn.relu(nn.Dense(self.representation_size, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.representation_size, name="fc7")(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name="fc6")(x))
+        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
+                             name="fc7")(x))
         return x
 
 
 class FastRCNNPredictor(nn.Module):
     num_classes: int = 30
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        cls = nn.Dense(self.num_classes, name="cls_score")(x)
-        reg = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        cls = nn.Dense(self.num_classes, dtype=self.dtype, name="cls_score")(x)
+        reg = nn.Dense(self.num_classes * 4, dtype=self.dtype, name="bbox_pred")(x)
         return cls, reg
 
 

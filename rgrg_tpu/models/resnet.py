@@ -25,27 +25,33 @@ class Bottleneck(nn.Module):
     stride: int = 1
     expansion: int = 4
     has_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         bn = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
         out_ch = self.width * self.expansion
 
         identity = x
-        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = bn("bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
         y = bn("bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
         y = bn("bn3")(y)
 
         if self.has_downsample:
             identity = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             identity = bn("downsample_bn")(identity)
 
         return nn.relu(y + identity)
@@ -59,6 +65,7 @@ class ResNetBackbone(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     in_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -66,9 +73,9 @@ class ResNetBackbone(nn.Module):
         assert x.shape[-1] == self.in_channels, (
             f"expected NHWC input with {self.in_channels} channels, got {x.shape}")
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         # maxpool 3x3 stride 2 pad 1; -inf padding like torch
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -79,6 +86,7 @@ class ResNetBackbone(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 has_ds = block == 0  # stage 0 block 0 downsamples channels (64->256)
                 y = Bottleneck(width=width, stride=stride, has_downsample=has_ds,
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{block}")(y, train=train)
             width *= 2
         return y

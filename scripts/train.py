@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Train RGRG-TPU: 3-stage protocol (reference README_TRAIN_TEST.md).
+
+  stage 1: object detector alone
+  stage 2: + binary classifiers (pretrain without LM)
+  stage 3: full model (frozen GPT-2 base; uk/uv + feature transform train)
+
+Example:
+  python scripts/train.py --stage 3 --train-csv data/train.csv \
+      --val-csv data/valid.csv --tokenizer-dir /path/tok --run-dir runs/r1
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stage", type=int, default=3, choices=[1, 2, 3])
+    ap.add_argument("--train-csv", required=True)
+    ap.add_argument("--val-csv", default=None)
+    ap.add_argument("--tokenizer-dir", default=None)
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--seq-len", type=int, default=64)
+    ap.add_argument("--lm-budget", type=int, default=128)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--init-from-torch", default=None,
+                    help="warm-start from a converted reference .pt")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from rgrg_tpu.core.config import RGRGConfig
+    from rgrg_tpu.data.dataset import RGRGDataset, read_split_csv
+    from rgrg_tpu.models.full_model import RGRG
+    from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+    from rgrg_tpu.train.loop import train
+
+    cfg = RGRGConfig()
+    model = RGRG(cfg=cfg.model)
+    batch_size = args.batch_size or cfg.train.batch_size
+
+    tok = GPT2Tokenizer.from_dir(args.tokenizer_dir) if args.tokenizer_dir else None
+    train_df = read_split_csv(args.train_csv)
+    train_ds = RGRGDataset(train_df, tok, train=True, seq_len=args.seq_len)
+
+    def train_batches():
+        return train_ds.batches(batch_size, shuffle=True)
+
+    val_fn = None
+    if args.val_csv:
+        val_df = read_split_csv(args.val_csv)
+        val_ds = RGRGDataset(val_df, tok, train=False, seq_len=args.seq_len)
+
+        from rgrg_tpu.train.trainer import compute_losses
+
+        def val_fn(state):
+            losses = []
+            for i, batch in enumerate(val_ds.batches(batch_size)):
+                batch = {k: v for k, v in batch.items()
+                         if isinstance(v, np.ndarray)}
+                total, _, _ = compute_losses(
+                    model, state.params, batch, jax.random.PRNGKey(0),
+                    args.stage, cfg.train, args.lm_budget)
+                losses.append(float(total))
+                if i >= 20:
+                    break
+            return float(np.mean(losses)) if losses else 0.0
+
+    train(model, cfg, train_batches, args.run_dir, stage=args.stage,
+          num_epochs=args.epochs, val_fn=val_fn, lm_budget=args.lm_budget,
+          resume_from=args.resume_from, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
