@@ -83,6 +83,9 @@ class RoIConfig:
     positive_fraction: float = 0.25
     # box regression weights (torchvision RoIHeads default)
     bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # proposals processed per RoI-head chunk: bounds the pooled-feature
+    # intermediate (B * chunk * 8*8*2048) instead of materializing all K
+    proposal_chunk: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,13 +72,14 @@ class ReportGenerator:
     # -------------------- pipeline --------------------
 
     def preprocess(self, images: Sequence[Union[str, np.ndarray]]) -> jnp.ndarray:
-        """Paths or grayscale arrays -> [B, 512, 512, 1] normalized batch."""
-        out = []
-        for im in images:
-            arr = T.load_image(im) if isinstance(im, str) else im
-            x, _ = T.val_transform(arr)
-            out.append(x)
-        return jnp.asarray(np.stack(out))
+        """Paths or grayscale arrays -> [B, 512, 512, 1] normalized batch.
+
+        Uses the native C++ threaded pipeline (native/preprocess.cc) when
+        built; falls back to the numpy/cv2 path."""
+        arrays = [T.load_image(im) if isinstance(im, str) else im
+                  for im in images]
+        from rgrg_tpu.data.native import preprocess_batch
+        return jnp.asarray(preprocess_batch(arrays))
 
     def generate_reports(self, images: Sequence[Union[str, np.ndarray]],
                          num_beams: Optional[int] = None,

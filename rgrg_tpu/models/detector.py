@@ -127,18 +127,30 @@ class RegionDetector(nn.Module):
         feats: [B, 16, 16, 2048]; boxes: [B, K, 4].
         Returns (class_logits [B,K,30], box_regression [B,K,120],
                  box_features [B,K,2048] spatially averaged).
+
+        Processes proposals in chunks so the pooled [*, 8, 8, 2048] feature
+        maps (the detector's largest intermediate: ~0.26 MB/proposal in f32)
+        never materialize for all B*K proposals at once — only the chunk's.
         """
-        pooled = jax.vmap(lambda f, b: roi_align(
-            f, b, output_size=self.cfg.roi.output_size,
-            spatial_scale=1.0 / C.BACKBONE_STRIDE,
-            sampling_ratio=self.cfg.roi.sampling_ratio,
-            compute_dtype=jnp.dtype(self.cfg.dtype)))(feats, boxes)
-        box_vecs = self.box_head(pooled)                   # [B, K, 1024]
-        class_logits, box_regression = self.box_predictor(box_vecs)
-        box_features = pooled.mean(axis=(-3, -2))          # [B, K, 2048] avg-pool 8x8
-        return (class_logits.astype(jnp.float32),
-                box_regression.astype(jnp.float32),
-                box_features.astype(jnp.float32))
+        b, k, _ = boxes.shape
+        chunk = min(self.cfg.roi.proposal_chunk, k)
+        outs = []
+        for start in range(0, k, chunk):
+            sl = boxes[:, start:start + chunk]
+            pooled = jax.vmap(lambda f, bx: roi_align(
+                f, bx, output_size=self.cfg.roi.output_size,
+                spatial_scale=1.0 / C.BACKBONE_STRIDE,
+                sampling_ratio=self.cfg.roi.sampling_ratio,
+                compute_dtype=jnp.dtype(self.cfg.dtype)))(feats, sl)
+            box_vecs = self.box_head(pooled)               # [B, c, 1024]
+            cls, reg = self.box_predictor(box_vecs)
+            feats_avg = pooled.mean(axis=(-3, -2))         # [B, c, 2048]
+            outs.append((cls.astype(jnp.float32), reg.astype(jnp.float32),
+                         feats_avg.astype(jnp.float32)))
+        class_logits = jnp.concatenate([o[0] for o in outs], axis=1)
+        box_regression = jnp.concatenate([o[1] for o in outs], axis=1)
+        box_features = jnp.concatenate([o[2] for o in outs], axis=1)
+        return class_logits, box_regression, box_features
 
     def region_features_from_boxes(self, feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
         """Arbitrary user boxes -> 1024-d region features (the
