@@ -40,7 +40,7 @@ def test_language_model_key_mapping():
     """Reference-level key paths (gpt_with_lm_head.transformer.*, uk/uv,
     feature_space_transformation_nn.*) map onto the init tree exactly."""
     cfg = DecoderConfig(vocab_size=11, hidden_dim=8, num_heads=2, num_layers=2,
-                        max_positions=16)
+                        max_positions=16, image_feature_dim=8)
     rng = np.random.default_rng(0)
 
     def t_lin(i, o):
