@@ -43,6 +43,23 @@ class MetricWriter:
                     tf.summary.scalar(k, float(v), step=int(step))
                 self._tb.flush()
 
+    def write_images(self, step: int, images: Mapping[str, Any]) -> None:
+        """images: name -> RGB uint8 [H, W, 3] (e.g. from utils.plots)."""
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, img in images.items():
+                    tf.summary.image(k, img[None], step=int(step))
+                self._tb.flush()
+        else:  # fall back to PNG artifacts
+            from PIL import Image
+            img_dir = os.path.join(self.run_dir, "figures")
+            os.makedirs(img_dir, exist_ok=True)
+            for k, img in images.items():
+                safe = k.replace("/", "_")
+                Image.fromarray(img).save(
+                    os.path.join(img_dir, f"{safe}_{step}.png"))
+
     def write_config(self, config: Any) -> None:
         with open(os.path.join(self.run_dir, "run_config.txt"), "w") as f:
             f.write(repr(config))
