@@ -139,10 +139,46 @@ class RGRG:
         num_selected = int(jnp.sum(sel))  # one scalar readback
         b = images.shape[0]
         r_budget = self.budget_for(num_selected, b)
-        output_ids, decoded_mask = self.decode_selected(
-            params, det["region_features"], sel, r_budget, max_length,
-            precision=precision, num_beams=num_beams,
-            early_stopping=early_stopping)
+
+        if num_beams == 1:
+            # length-bucket cascade: decode everything at a short cap first
+            # (~95% of region sentences are <60 tokens,
+            # run_configurations.py:50-51), then re-decode only the rows
+            # that hit the cap at the full max_length. Greedy decoding is
+            # prefix-deterministic, so results are identical to a single
+            # full-length decode. (Beam is not prefix-consistent across
+            # caps — HF finalize depends on max_length — so beam always
+            # decodes at full length.)
+            output_ids, decoded_mask = None, None
+            remaining = sel
+            for bucket in self.cfg.generation.length_buckets:
+                bucket = min(bucket, max_length)
+                n_rem = int(jnp.sum(remaining))
+                if n_rem == 0:
+                    break
+                ids_b, dec_b = self.decode_selected(
+                    params, det["region_features"], remaining,
+                    self.budget_for(n_rem, b), bucket, precision=precision)
+                ids_b = jnp.pad(ids_b, ((0, 0), (0, 0),
+                                        (0, max_length - bucket)),
+                                constant_values=self.cfg.decoder.pad_token_id)
+                if output_ids is None:
+                    output_ids, decoded_mask = ids_b, dec_b
+                else:
+                    take = remaining[..., None]
+                    output_ids = jnp.where(take, ids_b, output_ids)
+                    decoded_mask = decoded_mask | dec_b
+                if bucket >= max_length:
+                    break
+                # rows that filled the bucket without finishing (pad == eos,
+                # so an unfinished row's last slot is a real token)
+                unfinished = ids_b[:, :, bucket - 1] != self.cfg.decoder.pad_token_id
+                remaining = remaining & dec_b & unfinished
+        else:
+            output_ids, decoded_mask = self.decode_selected(
+                params, det["region_features"], sel, r_budget, max_length,
+                precision=precision, num_beams=num_beams,
+                early_stopping=early_stopping)
         return {
             "output_ids": output_ids,            # [B, 29, L]
             "selected_regions": np.asarray(sel),
