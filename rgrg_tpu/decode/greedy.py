@@ -19,10 +19,12 @@ from rgrg_tpu.core.config import DecoderConfig
 from rgrg_tpu.models import gpt2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "precision"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "precision",
+                                              "cache_dtype"))
 def greedy_generate(params: Dict[str, Any], image_features: jnp.ndarray,
                     cfg: DecoderConfig, max_length: int = 300,
-                    precision=None, active: jnp.ndarray | None = None) -> jnp.ndarray:
+                    precision=None, active: jnp.ndarray | None = None,
+                    cache_dtype=None) -> jnp.ndarray:
     """image_features: [B, 1024] raw region features.
 
     active: optional [B] bool — rows that actually need decoding (padding
@@ -36,7 +38,8 @@ def greedy_generate(params: Dict[str, Any], image_features: jnp.ndarray,
     b = image_features.shape[0]
     # cache slots: 0=image, 1..max_length = BOS + up to max_length-1 tokens
     logits0, cache = gpt2.prefill(params, image_features, cfg.bos_token_id,
-                                  max_length, cfg, precision)
+                                  max_length, cfg, precision,
+                                  cache_dtype=cache_dtype)
 
     out = jnp.full((b, max_length), cfg.pad_token_id, jnp.int32)
     out = out.at[:, 0].set(cfg.bos_token_id)

@@ -52,7 +52,11 @@ def filter_proposals(proposals: jnp.ndarray, objectness: jnp.ndarray,
     boxes = box_ops.clip_boxes_to_image(boxes, cfg.image_size, cfg.image_size)
     valid = box_ops.remove_small_boxes_mask(boxes, cfg.rpn.min_box_size)
     # score_thresh is 0.0 and scores are sigmoid outputs (> 0): no-op filter
-    keep = nms_lib.nms_keep_mask_tiled(boxes, valid, cfg.rpn.nms_thresh)
+    if cfg.use_pallas_nms:
+        from rgrg_tpu.ops.nms_pallas import nms_keep_mask_pallas
+        keep = nms_keep_mask_pallas(boxes, valid, cfg.rpn.nms_thresh)
+    else:
+        keep = nms_lib.nms_keep_mask_tiled(boxes, valid, cfg.rpn.nms_thresh)
     # post_nms_top_n == pre_nms_top_n in the reference config, so the kept
     # mask needs no further truncation.
     return boxes, keep, top_scores
@@ -134,14 +138,25 @@ class RegionDetector(nn.Module):
         """
         b, k, _ = boxes.shape
         chunk = min(self.cfg.roi.proposal_chunk, k)
+        if self.cfg.use_pallas_roi_align:
+            from rgrg_tpu.ops.roi_align_pallas import roi_align_pallas
+
+            def _pool(f, bx):
+                return roi_align_pallas(
+                    f, bx, output_size=self.cfg.roi.output_size,
+                    spatial_scale=1.0 / C.BACKBONE_STRIDE,
+                    sampling_ratio=self.cfg.roi.sampling_ratio)
+        else:
+            def _pool(f, bx):
+                return roi_align(
+                    f, bx, output_size=self.cfg.roi.output_size,
+                    spatial_scale=1.0 / C.BACKBONE_STRIDE,
+                    sampling_ratio=self.cfg.roi.sampling_ratio,
+                    compute_dtype=jnp.dtype(self.cfg.dtype))
         outs = []
         for start in range(0, k, chunk):
             sl = boxes[:, start:start + chunk]
-            pooled = jax.vmap(lambda f, bx: roi_align(
-                f, bx, output_size=self.cfg.roi.output_size,
-                spatial_scale=1.0 / C.BACKBONE_STRIDE,
-                sampling_ratio=self.cfg.roi.sampling_ratio,
-                compute_dtype=jnp.dtype(self.cfg.dtype)))(feats, sl)
+            pooled = jax.vmap(_pool)(feats, sl)
             box_vecs = self.box_head(pooled)               # [B, c, 1024]
             cls, reg = self.box_predictor(box_vecs)
             feats_avg = pooled.mean(axis=(-3, -2))         # [B, c, 2048]

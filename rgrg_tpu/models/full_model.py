@@ -66,13 +66,14 @@ class RGRG:
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
-        "early_stopping"))
+        "early_stopping", "kv_cache_dtype"))
     def decode_selected(self, params: Dict[str, Any],
                         region_features: jnp.ndarray,
                         selected_regions: jnp.ndarray,
                         r_budget: int, max_length: int,
                         precision=None, num_beams: int = 1,
-                        early_stopping: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        early_stopping: bool = False,
+                        kv_cache_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compact selected regions to r_budget rows, decode (greedy or
         beam), scatter back.
 
@@ -99,7 +100,8 @@ class RGRG:
         else:
             ids = greedy_generate(params["decoder"], feats, self.cfg.decoder,
                                   max_length=max_length, precision=precision,
-                                  active=active)  # [r_budget, L]
+                                  active=active,
+                                  cache_dtype=kv_cache_dtype)  # [r_budget, L]
 
         out = jnp.full((b * C.NUM_REGIONS, max_length),
                        self.cfg.decoder.pad_token_id, jnp.int32)
