@@ -59,7 +59,8 @@ def main():
     def run_once():
         det = model.detect(params, images)
         out, decoded = model.decode_selected(
-            params, det["region_features"], sel, r_budget, SENT_TOKENS)
+            params, det["region_features"], sel, r_budget, SENT_TOKENS,
+            kv_cache_dtype=jnp.int8)
         return out
 
     # warmup / compile
