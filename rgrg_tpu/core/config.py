@@ -86,6 +86,12 @@ class RoIConfig:
     # proposals processed per RoI-head chunk: bounds the pooled-feature
     # intermediate (B * chunk * 8*8*2048) instead of materializing all K
     proposal_chunk: int = 256
+    # serving knob: compact NMS survivors to this many proposals before the
+    # RoI head (None = keep all post-NMS slots — reference parity). Exact
+    # whenever survivors <= budget (typical on real images: a few hundred
+    # survive IoU-0.7 NMS); otherwise drops the lowest-scored survivors,
+    # i.e. behaves like a smaller post_nms_top_n.
+    inference_proposal_budget: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -243,6 +243,17 @@ class RegionDetector(nn.Module):
         """
         feats = self.backbone_features(images, train=train)
         boxes, keep, _ = self.rpn_proposals(feats, train=False)
+
+        budget = self.cfg.roi.inference_proposal_budget
+        if budget is not None and budget < boxes.shape[1]:
+            # compact NMS survivors to the front (score order preserved) and
+            # run the RoI head on the first `budget` slots only
+            def compact(bx, kp):
+                order = jnp.argsort(jnp.where(kp, 0, 1), stable=True)[:budget]
+                return bx[order], kp[order]
+
+            boxes, keep = jax.vmap(compact)(boxes, keep)
+
         class_logits, box_regression, box_features = self.roi_forward(feats, boxes)
 
         sel = jax.vmap(top1_per_class)(class_logits, keep)

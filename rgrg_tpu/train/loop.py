@@ -65,25 +65,33 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
           evaluate_every: Optional[int] = None,
           lm_budget: int = 128, resume_from: Optional[str] = None,
           checkpoint_every: Optional[int] = None,
-          max_steps: Optional[int] = None) -> trainer.TrainState:
+          max_steps: Optional[int] = None,
+          init_params: Optional[Any] = None) -> trainer.TrainState:
     """train_batches: factory returning a fresh batch iterator per epoch.
     val_fn(state) -> validation loss (called every `evaluate_every` steps).
+    init_params: optional warm-start weights (e.g. a converted reference
+    checkpoint); subtrees present in it replace the random init — the
+    stage-(N-1) -> stage-N handoff of the reference protocol.
     """
     tcfg = cfg.train
     writer = MetricWriter(run_dir)
     writer.write_config(cfg)
 
-    mesh = mesh_lib.make_mesh(cfg.mesh.num_devices)
     state, optimizer = trainer.init_train_state(
         model, jax.random.PRNGKey(tcfg.seed), tcfg, stage=stage)
+    if init_params is not None:
+        import jax.numpy as jnp
+        params = dict(state.params)
+        for key, sub in init_params.items():
+            params[key] = jax.tree.map(jnp.asarray, sub)
+        state = trainer.TrainState(params, optimizer.init(params), state.step)
     if resume_from:
         state = load_checkpoint(resume_from, target=state)
         log.info("resumed from %s at step %s", resume_from, int(state.step))
 
-    state = trainer.TrainState(
-        mesh_lib.replicate_pytree(state.params, mesh),
-        mesh_lib.replicate_pytree(state.opt_state, mesh),
-        jax.device_put(state.step, mesh_lib.replicated(mesh)))
+    # mesh is built lazily at the first batch so its size can be clamped to
+    # divide the actual batch size
+    mesh = None
     step_fn = trainer.make_train_step(model, tcfg, optimizer, stage=stage,
                                       lm_budget=lm_budget)
 
@@ -93,10 +101,18 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
     rng = jax.random.PRNGKey(tcfg.seed + 1)
     step = int(state.step)
 
-    with mesh:
-        for epoch in range(num_epochs):
-            t_epoch = time.time()
-            for batch in train_batches():
+    for epoch in range(num_epochs):
+        t_epoch = time.time()
+        for batch in train_batches():
+            if mesh is None:
+                mesh = mesh_lib.make_mesh(
+                    cfg.mesh.num_devices,
+                    batch_size=int(batch["images"].shape[0]))
+                state = trainer.TrainState(
+                    mesh_lib.replicate_pytree(state.params, mesh),
+                    mesh_lib.replicate_pytree(state.opt_state, mesh),
+                    jax.device_put(state.step, mesh_lib.replicated(mesh)))
+            with mesh:
                 rng, step_rng = jax.random.split(rng)
                 sharded = mesh_lib.shard_pytree_batch(
                     {k: v for k, v in batch.items()
@@ -104,25 +120,25 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
                 state, losses = step_fn(state, sharded, step_rng)
                 step += 1
 
-                if step % 50 == 0:
-                    writer.write_scalars(step, {f"train/{k}": float(v)
-                                                for k, v in losses.items()})
-                if val_fn is not None and step % evaluate_every == 0:
-                    val_loss = float(val_fn(state))
-                    scale = plateau.update(val_loss)
-                    writer.write_scalars(step, {"val/loss": val_loss,
-                                                "train/lr_scale": scale})
-                    if val_loss < best_val:
-                        best_val = val_loss
-                        save_checkpoint(os.path.join(run_dir, "best"), state)
-                if checkpoint_every and step % checkpoint_every == 0:
-                    save_checkpoint(os.path.join(run_dir, f"step_{step}"), state)
-                if max_steps and step >= max_steps:
-                    break
-            writer.write_scalars(step, {"train/epoch_seconds": time.time() - t_epoch,
-                                        "train/epoch": epoch})
+            if step % 50 == 0:
+                writer.write_scalars(step, {f"train/{k}": float(v)
+                                            for k, v in losses.items()})
+            if val_fn is not None and step % evaluate_every == 0:
+                val_loss = float(val_fn(state))
+                scale = plateau.update(val_loss)
+                writer.write_scalars(step, {"val/loss": val_loss,
+                                            "train/lr_scale": scale})
+                if val_loss < best_val:
+                    best_val = val_loss
+                    save_checkpoint(os.path.join(run_dir, "best"), state)
+            if checkpoint_every and step % checkpoint_every == 0:
+                save_checkpoint(os.path.join(run_dir, f"step_{step}"), state)
             if max_steps and step >= max_steps:
                 break
+        writer.write_scalars(step, {"train/epoch_seconds": time.time() - t_epoch,
+                                    "train/epoch": epoch})
+        if max_steps and step >= max_steps:
+            break
 
     save_checkpoint(os.path.join(run_dir, "last"), state)
     writer.close()

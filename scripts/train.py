@@ -46,6 +46,20 @@ def main():
     model = RGRG(cfg=cfg.model)
     batch_size = args.batch_size or cfg.train.batch_size
 
+    init_params = None
+    if args.init_from_torch:
+        # warm-start from a converted reference checkpoint: stage-1 detector
+        # .pt for stage 2, full-model .pt for stage 3 (the reference loads
+        # the best stage-(N-1) weights the same way, README_TRAIN_TEST.md)
+        from rgrg_tpu.core.checkpoint import (convert_detector_checkpoint,
+                                              convert_full_checkpoint,
+                                              load_torch_checkpoint)
+        sd = load_torch_checkpoint(args.init_from_torch)
+        if any(k.startswith("object_detector.") for k in sd):
+            init_params = convert_full_checkpoint(sd)
+        else:
+            init_params = {"detector": convert_detector_checkpoint(sd)}
+
     tok = GPT2Tokenizer.from_dir(args.tokenizer_dir) if args.tokenizer_dir else None
     train_df = read_split_csv(args.train_csv)
     train_ds = RGRGDataset(train_df, tok, train=True, seq_len=args.seq_len)
@@ -75,7 +89,8 @@ def main():
 
     train(model, cfg, train_batches, args.run_dir, stage=args.stage,
           num_epochs=args.epochs, val_fn=val_fn, lm_budget=args.lm_budget,
-          resume_from=args.resume_from, max_steps=args.max_steps)
+          resume_from=args.resume_from, max_steps=args.max_steps,
+          init_params=init_params)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,47 @@
+"""Pipelined serving driver: ordered, complete, matches direct API."""
+
+import numpy as np
+import cv2
+import jax
+import pytest
+
+from rgrg_tpu.inference import ReportGenerator
+from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.serving import generate_reports_pipelined
+from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+
+from tests.test_full_model import SMOKE_CFG
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
+    d = tmp_path_factory.mktemp("imgs")
+    paths = []
+    for i in range(5):
+        p = str(d / f"i{i}.png")
+        cv2.imwrite(p, (np.random.default_rng(i).uniform(0, 255, (600, 500))
+                        ).astype(np.uint8))
+        paths.append(p)
+    return gen, paths
+
+
+def test_pipelined_matches_direct(setup):
+    gen, paths = setup
+    direct = gen.generate_reports(paths, num_beams=1, max_length=6,
+                                  early_stopping=False)
+    piped = [r for chunk in generate_reports_pipelined(
+        gen, paths, batch_size=2, num_beams=1, max_length=6) for r in chunk]
+    assert len(piped) == len(direct) == 5
+    for a, b in zip(piped, direct):
+        assert a.report == b.report
+        np.testing.assert_array_equal(a.selected_regions, b.selected_regions)
+
+
+def test_pipelined_empty():
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
+    assert list(generate_reports_pipelined(gen, [], batch_size=2)) == []
