@@ -115,17 +115,22 @@ def feature_transform(params: Params, image_features: jnp.ndarray,
 
 
 def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-               bias: jnp.ndarray, precision=None) -> jnp.ndarray:
-    """q [B,H,S,D] x k/v [B,H,T,D] with additive bias [B,1,S,T] (0 or -1e4)."""
+               bias: jnp.ndarray, precision=None,
+               attn_dropout=None) -> jnp.ndarray:
+    """q [B,H,S,D] x k/v [B,H,T,D] with additive bias [B,1,S,T] (0 or -1e4).
+    attn_dropout: optional fn applied to the softmax weights (training)."""
     scale = 1.0 / jnp.sqrt(jnp.asarray(v.shape[-1], q.dtype))
     w = jnp.einsum("bhsd,bhtd->bhst", q, k, precision=precision) * scale
     w = w + bias
     w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+    if attn_dropout is not None:
+        w = attn_dropout(w)
     return jnp.einsum("bhst,bhtd->bhsd", w, v, precision=precision)
 
 
 def _block_attn_full(bp: Params, x_norm: jnp.ndarray, image_kv: Tuple[jnp.ndarray, jnp.ndarray],
-                     bias: jnp.ndarray, cfg: DecoderConfig, precision=None):
+                     bias: jnp.ndarray, cfg: DecoderConfig, precision=None,
+                     attn_dropout=None):
     """Full-sequence pseudo-attention (training / scoring path).
 
     x_norm: [B, S, D]; image_kv: (k_img, v_img) each [B, 1, D] (already
@@ -142,7 +147,7 @@ def _block_attn_full(bp: Params, x_norm: jnp.ndarray, image_kv: Tuple[jnp.ndarra
     qh = _split_heads(q, cfg.num_heads, cfg.head_dim)
     kh = _split_heads(k, cfg.num_heads, cfg.head_dim)
     vh = _split_heads(v, cfg.num_heads, cfg.head_dim)
-    out = _attention(qh, kh, vh, bias, precision)
+    out = _attention(qh, kh, vh, bias, precision, attn_dropout)
     return _dense(_merge_heads(out), bp["c_proj"], precision)
 
 
@@ -154,7 +159,8 @@ def _positions_embed(params: Params, position_ids: jnp.ndarray,
 
 def forward_full(params: Params, input_ids: jnp.ndarray,
                  attention_mask: jnp.ndarray, image_features: jnp.ndarray,
-                 cfg: DecoderConfig, precision=None) -> jnp.ndarray:
+                 cfg: DecoderConfig, precision=None,
+                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Teacher-forced forward over full sequences.
 
     input_ids/attention_mask: [B, S]; image_features: [B, 1024] (raw region
@@ -168,8 +174,26 @@ def forward_full(params: Params, input_ids: jnp.ndarray,
     if with_image:
         img = feature_transform(params, image_features, precision)[:, None, :]  # [B,1,D]
 
+    # training dropout (reference: embd/attn/resid p=0.1,
+    # language_model.py:56-57,222); inference passes no rng -> deterministic
+    if dropout_rng is not None:
+        drop_keys = iter(jax.random.split(dropout_rng, 1 + 3 * cfg.num_layers))
+
+        def dropout(t, rate):
+            keep = jax.random.bernoulli(next(drop_keys), 1.0 - rate, t.shape)
+            return jnp.where(keep, t / (1.0 - rate), 0.0)
+
+        def attn_dropout(w):
+            return dropout(w, cfg.attn_dropout)
+    else:
+        def dropout(t, rate):
+            return t
+
+        attn_dropout = None
+
     position_ids = jnp.arange(s)[None, :]
     x = params["wte"]["embedding"][input_ids] + _positions_embed(params, position_ids, cfg)
+    x = dropout(x, cfg.embd_dropout)
 
     # bias [B, 1, S, (1+)S]: causal (image column always visible) + padding
     causal = jnp.tril(jnp.ones((s, s), bool))
@@ -189,12 +213,13 @@ def forward_full(params: Params, input_ids: jnp.ndarray,
         else:
             image_kv = None
         a = _block_attn_full(bp["attn"], _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps),
-                             image_kv, bias, cfg, precision)
-        x = x + a
+                             image_kv, bias, cfg, precision,
+                             attn_dropout=attn_dropout)
+        x = x + dropout(a, cfg.resid_dropout)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
         m = _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),
                    bp["mlp"]["c_proj"], precision)
-        x = x + m
+        x = x + dropout(m, cfg.resid_dropout)
 
     x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
     return jnp.dot(x, params["wte"]["embedding"].T, precision=precision)

@@ -173,7 +173,7 @@ def classifier_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 def lm_loss_selected(decoder_params, input_ids: jnp.ndarray,
                      attention_mask: jnp.ndarray, region_features: jnp.ndarray,
                      seq_valid: jnp.ndarray, cfg, budget: int,
-                     precision=None) -> jnp.ndarray:
+                     precision=None, dropout_rng=None) -> jnp.ndarray:
     """LM loss over the compacted set of valid region sequences.
 
     input_ids/attention_mask: [B, 29, S]; region_features: [B, 29, F];
@@ -196,7 +196,8 @@ def lm_loss_selected(decoder_params, input_ids: jnp.ndarray,
     mask = flat_mask[idx] * active[:, None].astype(flat_mask.dtype)
     feats = flat_feats[idx]
 
-    logits = gpt2.forward_full(decoder_params, ids, mask, feats, cfg, precision)
+    logits = gpt2.forward_full(decoder_params, ids, mask, feats, cfg, precision,
+                               dropout_rng=dropout_rng)
     shift_logits = logits[:, :-1, :]
     shift_labels = ids[:, 1:]
     shift_valid = mask[:, 1:].astype(bool)

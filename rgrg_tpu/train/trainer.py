@@ -83,9 +83,10 @@ def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
     """Returns (total, loss dict, new batch_stats)."""
     det = model.detector
     variables = params["detector"]
+    rng_det, rng_drop = jax.random.split(rng)
     (det_losses, aux), mutated = det.apply(
         variables, batch["images"], batch["gt_boxes"], batch["gt_labels"],
-        batch["gt_valid"], rng, method=det.train_forward,
+        batch["gt_valid"], rng_det, method=det.train_forward,
         mutable=["batch_stats"])
 
     losses = dict(det_losses)
@@ -108,7 +109,7 @@ def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
         lm = L.lm_loss_selected(params["decoder"], batch["input_ids"],
                                 batch["attention_mask"], aux["region_features"],
                                 seq_valid, model.cfg.decoder, lm_budget,
-                                precision=precision)
+                                precision=precision, dropout_rng=rng_drop)
         losses["loss_lm"] = lm
         total = total + tcfg.loss_weight_lm * lm
 

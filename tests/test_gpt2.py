@@ -174,3 +174,37 @@ class TestCachedDecode:
                     assert (out_np[b, t:] == TINY.pad_token_id).all()
                     break
                 assert out_np[b, t] == want, (b, t)
+
+
+class TestDropout:
+    def test_dropout_rng_changes_output_deterministically(self):
+        params = gpt2.init_decoder_params(jax.random.PRNGKey(0), TINY)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, TINY.vocab_size, (2, 5)).astype(np.int32))
+        mask = jnp.ones((2, 5), jnp.float32)
+        feats = jnp.asarray(rng.normal(0, 1, (2, TINY.hidden_dim)).astype(np.float32))
+
+        base = gpt2.forward_full(params, ids, mask, feats, TINY)
+        d1 = gpt2.forward_full(params, ids, mask, feats, TINY,
+                               dropout_rng=jax.random.PRNGKey(1))
+        d1b = gpt2.forward_full(params, ids, mask, feats, TINY,
+                                dropout_rng=jax.random.PRNGKey(1))
+        d2 = gpt2.forward_full(params, ids, mask, feats, TINY,
+                               dropout_rng=jax.random.PRNGKey(2))
+        assert np.abs(np.asarray(d1) - np.asarray(base)).max() > 1e-4
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+        assert np.abs(np.asarray(d1) - np.asarray(d2)).max() > 1e-4
+
+    def test_zero_rates_match_deterministic(self):
+        import dataclasses as dc
+        cfg0 = dc.replace(TINY, embd_dropout=0.0, attn_dropout=0.0,
+                          resid_dropout=0.0)
+        params = gpt2.init_decoder_params(jax.random.PRNGKey(0), cfg0)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(1, cfg0.vocab_size, (2, 4)).astype(np.int32))
+        mask = jnp.ones((2, 4), jnp.float32)
+        feats = jnp.asarray(rng.normal(0, 1, (2, cfg0.hidden_dim)).astype(np.float32))
+        a = gpt2.forward_full(params, ids, mask, feats, cfg0)
+        b = gpt2.forward_full(params, ids, mask, feats, cfg0,
+                              dropout_rng=jax.random.PRNGKey(5))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
