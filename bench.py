@@ -20,6 +20,7 @@ selection count).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -67,11 +68,23 @@ def main():
     run_once().block_until_ready()
     run_once().block_until_ready()
 
+    profile_dir = None
+    if "--profile" in sys.argv:
+        from rgrg_tpu.utils.logging import trace
+        profile_dir = "bench_trace"
+
     iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run_once()
-    out.block_until_ready()
+    if profile_dir:
+        from rgrg_tpu.utils.logging import trace
+        with trace(profile_dir):
+            for _ in range(iters):
+                out = run_once()
+            out.block_until_ready()
+    else:
+        for _ in range(iters):
+            out = run_once()
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     reports_per_sec = BATCH / dt

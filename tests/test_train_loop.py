@@ -23,8 +23,13 @@ def test_plateau_scheduler():
 
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
+    from rgrg_tpu.core.config import MeshConfig
+    # single-device mesh: the 2-device SPMD compile of the full train step
+    # is pathologically slow on the CPU backend; multi-device sharding is
+    # covered by __graft_entry__.dryrun_multichip and test_mesh_inference
     cfg = RGRGConfig(model=TRAIN_CFG,
-                     train=TrainConfig(grad_accumulation_steps=1, seed=0))
+                     train=TrainConfig(grad_accumulation_steps=1, seed=0),
+                     mesh=MeshConfig(num_devices=1))
     model = RGRG(cfg=cfg.model)
     batches = [_batch() for _ in range(2)]
 
