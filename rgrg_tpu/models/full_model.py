@@ -66,14 +66,19 @@ class RGRG:
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
-        "early_stopping", "kv_cache_dtype"))
+        "early_stopping", "kv_cache_dtype", "do_sample", "temperature",
+        "top_k", "top_p"))
     def decode_selected(self, params: Dict[str, Any],
                         region_features: jnp.ndarray,
                         selected_regions: jnp.ndarray,
                         r_budget: int, max_length: int,
                         precision=None, num_beams: int = 1,
                         early_stopping: bool = False,
-                        kv_cache_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        kv_cache_dtype=None,
+                        do_sample: bool = False, temperature: float = 1.0,
+                        top_k: int = 0, top_p: float = 1.0,
+                        sample_rng: Optional[jax.Array] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compact selected regions to r_budget rows, decode (greedy or
         beam), scatter back.
 
@@ -90,7 +95,15 @@ class RGRG:
         active = sel[idx]
         feats = flat_feats[idx]
 
-        if num_beams > 1:
+        if do_sample:
+            from rgrg_tpu.decode.sample import sample_generate
+            rng = sample_rng if sample_rng is not None else jax.random.PRNGKey(0)
+            ids = sample_generate(params["decoder"], feats, rng,
+                                  self.cfg.decoder, max_length=max_length,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, precision=precision,
+                                  active=active)
+        elif num_beams > 1:
             from rgrg_tpu.decode.beam import beam_generate
             ids = beam_generate(params["decoder"], feats, self.cfg.decoder,
                                 max_length=max_length, num_beams=num_beams,

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Pipelined batch serving over a directory of CXR images: preprocess,
+device compute, and text postprocessing overlap (rgrg_tpu.serving)."""
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--tokenizer-dir", required=True)
+    ap.add_argument("--image-dir", required=True)
+    ap.add_argument("--pattern", default="*.jpg")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--num-beams", type=int, default=1)
+    ap.add_argument("--max-length", type=int, default=300)
+    ap.add_argument("--output", default="generated_reports.txt")
+    args = ap.parse_args()
+
+    from rgrg_tpu.inference import ReportGenerator, write_generated_reports_to_txt
+    from rgrg_tpu.serving import generate_reports_pipelined
+
+    if args.checkpoint.endswith((".pt", ".pth")):
+        gen = ReportGenerator.from_torch_checkpoint(args.checkpoint,
+                                                    args.tokenizer_dir)
+    else:
+        gen = ReportGenerator.from_orbax(args.checkpoint, args.tokenizer_dir)
+
+    images = sorted(glob.glob(os.path.join(args.image_dir, args.pattern)))
+    print(f"{len(images)} images")
+    t0 = time.perf_counter()
+    reports = []
+    for chunk in generate_reports_pipelined(gen, images,
+                                            batch_size=args.batch_size,
+                                            num_beams=args.num_beams,
+                                            max_length=args.max_length):
+        reports.extend(chunk)
+        done = len(reports)
+        dt = time.perf_counter() - t0
+        print(f"{done}/{len(images)}  {done / dt:.1f} reports/s")
+
+    write_generated_reports_to_txt(images, reports, args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
