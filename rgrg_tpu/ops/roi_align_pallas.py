@@ -89,6 +89,54 @@ def _roi_align_kernel(boxes_ref, feats_ref, out_ref, *, spatial_scale: float,
     out_ref[:, :, :, :] = jnp.transpose(out, (0, 2, 1, 3))     # -> [R, Pp, Pq, CT]
 
 
+def _batched_kernel(boxes_ref, feats_ref, out_ref, **kw):
+    """Batched wrapper: blocks carry a leading unit batch dim."""
+    _roi_align_kernel(boxes_ref.at[0], feats_ref.at[0], out_ref.at[0], **kw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "output_size", "spatial_scale", "sampling_ratio", "interpret"))
+def roi_align_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray, *,
+                             output_size: int = 8,
+                             spatial_scale: float = 1.0 / 32.0,
+                             sampling_ratio: int = 2,
+                             interpret: bool = False) -> jnp.ndarray:
+    """features: [B, H, W, C]; boxes: [B, N, 4] -> [B, N, P, P, C] f32.
+
+    The batch is a grid dimension (one fused kernel launch), unlike
+    vmap(roi_align_pallas) which dispatches per image.
+    """
+    bsz, h, w, c = features.shape
+    n = boxes.shape[1]
+    pad_n = (-n) % ROI_BLOCK
+    if pad_n:
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((bsz, pad_n, 4), boxes.dtype)], axis=1)
+    npad = n + pad_n
+    ct = min(CH_TILE, c)
+    assert c % ct == 0
+
+    out = pl.pallas_call(
+        functools.partial(_batched_kernel, spatial_scale=spatial_scale,
+                          output_size=output_size, sampling=sampling_ratio,
+                          height=h, width=w),
+        grid=(bsz, npad // ROI_BLOCK, c // ct),
+        in_specs=[
+            pl.BlockSpec((1, ROI_BLOCK, 4), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, ct), lambda b, i, j: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROI_BLOCK, output_size, output_size, ct),
+                               lambda b, i, j: (b, i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, npad, output_size, output_size, c), jnp.float32),
+        interpret=interpret,
+    )(boxes.astype(jnp.float32), features)
+    return out[:, :n]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "output_size", "spatial_scale", "sampling_ratio", "interpret"))
 def roi_align_pallas(features: jnp.ndarray, boxes: jnp.ndarray, *,

@@ -35,3 +35,14 @@ def test_edge_boxes():
     got = np.asarray(roi_align_pallas(jnp.asarray(feats), jnp.asarray(boxes),
                                       interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_batched_matches_vmap():
+    from rgrg_tpu.ops.roi_align_pallas import roi_align_pallas_batched
+    feats = RNG.normal(0, 1, (2, 16, 16, 256)).astype(np.float32)
+    boxes = np.stack([random_boxes(40, rng=RNG), random_boxes(40, rng=RNG)])
+    got = np.asarray(roi_align_pallas_batched(
+        jnp.asarray(feats), jnp.asarray(boxes), interpret=True))
+    for b in range(2):
+        want = np.asarray(roi_align(jnp.asarray(feats[b]), jnp.asarray(boxes[b])))
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-4)
