@@ -139,24 +139,24 @@ class RegionDetector(nn.Module):
         b, k, _ = boxes.shape
         chunk = min(self.cfg.roi.proposal_chunk, k)
         if self.cfg.use_pallas_roi_align:
-            from rgrg_tpu.ops.roi_align_pallas import roi_align_pallas
+            from rgrg_tpu.ops.roi_align_pallas import roi_align_pallas_batched
 
-            def _pool(f, bx):
-                return roi_align_pallas(
+            def _pool_batch(f, bx):
+                return roi_align_pallas_batched(
                     f, bx, output_size=self.cfg.roi.output_size,
                     spatial_scale=1.0 / C.BACKBONE_STRIDE,
                     sampling_ratio=self.cfg.roi.sampling_ratio)
         else:
-            def _pool(f, bx):
-                return roi_align(
-                    f, bx, output_size=self.cfg.roi.output_size,
+            def _pool_batch(f, bx):
+                return jax.vmap(lambda fi, bi: roi_align(
+                    fi, bi, output_size=self.cfg.roi.output_size,
                     spatial_scale=1.0 / C.BACKBONE_STRIDE,
                     sampling_ratio=self.cfg.roi.sampling_ratio,
-                    compute_dtype=jnp.dtype(self.cfg.dtype))
+                    compute_dtype=jnp.dtype(self.cfg.dtype)))(f, bx)
         outs = []
         for start in range(0, k, chunk):
             sl = boxes[:, start:start + chunk]
-            pooled = jax.vmap(_pool)(feats, sl)
+            pooled = _pool_batch(feats, sl)
             box_vecs = self.box_head(pooled)               # [B, c, 1024]
             cls, reg = self.box_predictor(box_vecs)
             feats_avg = pooled.mean(axis=(-3, -2))         # [B, c, 2048]

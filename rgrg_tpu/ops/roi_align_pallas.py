@@ -90,8 +90,9 @@ def _roi_align_kernel(boxes_ref, feats_ref, out_ref, *, spatial_scale: float,
 
 
 def _batched_kernel(boxes_ref, feats_ref, out_ref, **kw):
-    """Batched wrapper: blocks carry a leading unit batch dim."""
-    _roi_align_kernel(boxes_ref.at[0], feats_ref.at[0], out_ref.at[0], **kw)
+    """Batched wrapper: boxes arrive flattened 2-D (Mosaic rejects 3-D
+    blocks whose minor dim is 4); feats/out carry a leading unit batch dim."""
+    _roi_align_kernel(boxes_ref, feats_ref.at[0], out_ref.at[0], **kw)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -115,14 +116,17 @@ def roi_align_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray, *,
     npad = n + pad_n
     ct = min(CH_TILE, c)
     assert c % ct == 0
+    nblocks = npad // ROI_BLOCK
+    flat_boxes = boxes.astype(jnp.float32).reshape(bsz * npad, 4)
 
     out = pl.pallas_call(
         functools.partial(_batched_kernel, spatial_scale=spatial_scale,
                           output_size=output_size, sampling=sampling_ratio,
                           height=h, width=w),
-        grid=(bsz, npad // ROI_BLOCK, c // ct),
+        grid=(bsz, nblocks, c // ct),
         in_specs=[
-            pl.BlockSpec((1, ROI_BLOCK, 4), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((ROI_BLOCK, 4),
+                         lambda b, i, j: (b * nblocks + i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w, ct), lambda b, i, j: (b, 0, 0, j),
                          memory_space=pltpu.VMEM),
@@ -133,7 +137,7 @@ def roi_align_pallas_batched(features: jnp.ndarray, boxes: jnp.ndarray, *,
         out_shape=jax.ShapeDtypeStruct(
             (bsz, npad, output_size, output_size, c), jnp.float32),
         interpret=interpret,
-    )(boxes.astype(jnp.float32), features)
+    )(flat_boxes, features)
     return out[:, :n]
 
 
