@@ -120,8 +120,10 @@ class SentenceCollector:
     ref_sents: List[str] = dataclasses.field(default_factory=list)
     is_abnormal: List[bool] = dataclasses.field(default_factory=list)
     region_ids: List[int] = dataclasses.field(default_factory=list)
+    image_ids: List[int] = dataclasses.field(default_factory=list)
     gen_reports: List[str] = dataclasses.field(default_factory=list)
     ref_reports: List[str] = dataclasses.field(default_factory=list)
+    _next_image_id: int = 0
 
     def add_batch(self, output_ids: np.ndarray, decoded_mask: np.ndarray,
                   tokenizer: GPT2Tokenizer,
@@ -132,6 +134,8 @@ class SentenceCollector:
         b = output_ids.shape[0]
         for i in range(b):
             ordered = []
+            image_id = self._next_image_id
+            self._next_image_id += 1
             for r in range(C.NUM_REGIONS):
                 if decoded_mask[i, r]:
                     text = tokenizer.decode(output_ids[i, r],
@@ -142,6 +146,7 @@ class SentenceCollector:
                         self.gen_sents.append(text)
                         self.ref_sents.append(ref)
                         self.region_ids.append(r)
+                        self.image_ids.append(image_id)
                         if region_is_abnormal is not None:
                             self.is_abnormal.append(bool(region_is_abnormal[i, r]))
             if reference_reports is not None and reference_reports[i]:
@@ -173,6 +178,22 @@ class SentenceCollector:
                 if m.any():
                     per_region[C.REGION_NAMES[r]] = float(ps[m].mean())
             out["sentence"]["per_region_meteor"] = per_region
+
+            # meteor_ratio: matched-pair METEOR / mismatched-pair METEOR
+            # within the same image (evaluate_language_model.py:352-396) —
+            # measures how region-specific the generated sentences are
+            mismatch_scores = []
+            iid = np.asarray(self.image_ids)
+            for img in np.unique(iid):
+                idx = np.nonzero(iid == img)[0]
+                for a in idx:
+                    for bb in idx:
+                        if a != bb:
+                            mismatch_scores.append(
+                                meteor.score_pair(cands[a], refs[bb][0]))
+            if mismatch_scores and np.mean(mismatch_scores) > 0:
+                out["sentence"]["meteor_ratio"] = (
+                    float(np.mean(pair_scores)) / float(np.mean(mismatch_scores)))
         if self.gen_reports:
             out["report"] = nlg.compute_nlg_scores(
                 metrics, self.gen_reports, self.ref_reports,
