@@ -132,31 +132,20 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
         state = (out, new_scores, f_scores, f_seqs, f_lens, done)
         return flat_beam, new_tok.reshape(-1), state
 
-    def reorder_cache(cache, new_beam):
-        """Cache reorder by beam ancestry. Beam ancestors live within each
-        item's K-block, so this is a [K_new, K_old] one-hot contraction per
-        item — lowered as a tiny batched matmul that streams the cache at
-        HBM bandwidth. The equivalent flat gather (cache[:, flat_idx]) costs
-        ~3.5x bandwidth on TPU (measured)."""
-        onehot = jax.nn.one_hot(new_beam, k)                    # [B, Kn, Ko]
+    def reorder_cache(cache, flat_beam):
+        """Cache reorder by beam ancestry (HF _reorder_cache equivalent).
 
-        def one(c):
-            l = c.shape[0]
-            rest = c.shape[2:]
-            cr = c.reshape(l, b, k, -1)
-            oh = onehot.astype(jnp.bfloat16 if c.dtype == jnp.bfloat16
-                               else jnp.float32)
-            out = jnp.einsum("bij,lbjr->lbir", oh,
-                             cr.astype(oh.dtype))
-            return out.astype(c.dtype).reshape((l, b * k) + rest)
-
-        return jax.tree.map(one, cache)
+        The dominant beam cost on TPU: inside the while_loop the gather
+        breaks carry donation, so the cache is copied ~2x per step (measured
+        ~7 ms/step at 256 rows x 61 slots bf16 vs ~2.3 ms compute). A
+        one-hot-contraction variant measured slower end to end; a cache
+        layout with the beam dim leading is the round-2 fix (STATUS.md)."""
+        return jax.tree.map(lambda c: c[:, flat_beam], cache)
 
     # first token from prefill logits (cur_len = 1: just BOS)
     state = (out, beam_scores, f_scores, f_seqs, f_lens, done)
     flat_beam, tok, state = process(logits0, state, 1)
-    new_beam0 = flat_beam.reshape(b, k) - jnp.arange(b)[:, None] * k
-    cache = reorder_cache(cache, new_beam0)
+    cache = reorder_cache(cache, flat_beam)
 
     def cond(carry):
         t, _, state, _ = carry
@@ -169,8 +158,7 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
         logits, cache = gpt2.decode_step(params, tok, t, cache, cfg,
                                          precision, no_image=no_image)
         flat_beam, tok, state = process(logits, state, t + 2)
-        new_beam = flat_beam.reshape(b, k) - jnp.arange(b)[:, None] * k
-        cache = reorder_cache(cache, new_beam)
+        cache = reorder_cache(cache, flat_beam)
         return t + 1, tok, state, cache
 
     t, _, state, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), tok, state, cache))
