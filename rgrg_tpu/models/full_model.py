@@ -127,12 +127,17 @@ class RGRG:
     # ---------------- host orchestration ----------------
 
     def budget_for(self, num_selected: int, batch: int) -> int:
-        """Pick a static decode bucket >= num_selected (powers of two, capped
-        at B*29). Keeps the set of compiled decode graphs small."""
+        """Pick a static decode bucket >= num_selected from the
+        {2^k, 3*2^k} ladder (8, 12, 16, 24, 32, 48, ...), capped at B*29.
+        The 3*2^k steps cap padding waste at ~33% while keeping the set of
+        compiled decode graphs small."""
         cap = batch * C.NUM_REGIONS
+        if num_selected >= cap:
+            return cap
         budget = 8
         while budget < num_selected:
-            budget *= 2
+            budget = budget * 3 // 2 if budget % 2 == 0 and (budget & (budget - 1)) == 0 \
+                else budget * 4 // 3
         return min(budget, cap)
 
     def generate(self, params: Dict[str, Any], images: jnp.ndarray,

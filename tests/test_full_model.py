@@ -73,8 +73,11 @@ class TestDecodeSelected:
     def test_budget_picker(self):
         m = self.model
         assert m.budget_for(0, 1) == 8
-        assert m.budget_for(9, 4) == 16
+        assert m.budget_for(9, 4) == 12
         assert m.budget_for(100, 4) == 4 * 29
+        # {2^k, 3*2^k} ladder
+        got = [m.budget_for(n, 100) for n in (8, 13, 20, 40, 100, 150)]
+        assert got == [8, 16, 24, 48, 128, 192]
 
 
 def test_end_to_end_generate_smoke():
