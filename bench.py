@@ -38,10 +38,10 @@ BASELINE_REPORTS_PER_SEC = 50.0  # BASELINE.json north star
 
 def main():
     # serving config: bf16 compute in the detector (params stay f32; box
-    # math stays f32), fused RoIAlign+fc6 Pallas kernel, bf16 decoder
-    # params, int8 KV cache
-    cfg = ModelConfig(detector=DetectorConfig(dtype="bfloat16",
-                                              use_fused_roi_fc6=True))
+    # math stays f32), bf16 decoder params, int8 KV cache.
+    # (use_fused_roi_fc6 wins 16% standalone but currently faults inside the
+    # full detect graph on v5e — kept opt-in; see STATUS.md round-2 plan.)
+    cfg = ModelConfig(detector=DetectorConfig(dtype="bfloat16"))
     model = RGRG(cfg=cfg)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng)

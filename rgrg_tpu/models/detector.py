@@ -139,7 +139,7 @@ class RegionDetector(nn.Module):
         maps (the detector's largest intermediate: ~0.26 MB/proposal f32)
         never materialize for all B*K proposals at once.
         """
-        if fused and self.cfg.use_fused_roi_fc6:
+        if fused and self.cfg.use_fused_roi_fc6 and not self.is_initializing():
             from rgrg_tpu.ops.roi_fc6_pallas import roi_align_fc6
             dtype = jnp.dtype(self.cfg.dtype)
             bh = self.box_head.variables["params"]
