@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rgrg_tpu.ops.roi_align_pallas import _axis_weights_block
 
 ROI_BLOCK = 32
-CH_TILE = 256
-CHUNK = 256  # proposals per fc6 output block / matmul M-dim (full MXU rows)
+CH_TILE = 128
+CHUNK = 128  # proposals per fc6 output block / matmul M-dim (full MXU rows)
 
 
 def _kernel(boxes_ref, feats_ref, w6_ref, fc6_ref, bf_ref, pooled_ref, *,
@@ -163,7 +163,7 @@ def roi_align_fc6(features: jnp.ndarray, boxes: jnp.ndarray,
         ),
         scratch_shapes=[pltpu.VMEM((p, CHUNK, p, ct), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(flat_boxes, features, w6_tiled)
     return fc6[:, :n], bf[:, :n]
