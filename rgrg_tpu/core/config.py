@@ -101,6 +101,10 @@ class DetectorConfig:
     roi: RoIConfig = RoIConfig()
     num_classes: int = C.NUM_DETECTOR_CLASSES  # 29 regions + background
     image_size: int = C.IMAGE_SIZE
+    # ResNet stage depths; (3, 4, 6, 3) == ResNet-50 (reference backbone).
+    # Smaller values build structurally-identical but shallow backbones for
+    # fast-compiling dry runs and tests.
+    backbone_stages: Tuple[int, int, int, int] = (3, 4, 6, 3)
     # computation dtype for conv/dense/RoIAlign ("bfloat16" for serving —
     # halves HBM traffic of the pooled-feature materialization and runs the
     # MXU at full bf16 rate; "float32" for parity testing). Params stay f32.

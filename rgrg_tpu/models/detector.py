@@ -95,8 +95,8 @@ class RegionDetector(nn.Module):
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.dtype)
-        self.backbone = ResNetBackbone(stage_sizes=(3, 4, 6, 3), in_channels=1,
-                                       dtype=dtype)
+        self.backbone = ResNetBackbone(stage_sizes=self.cfg.backbone_stages,
+                                       in_channels=1, dtype=dtype)
         self.rpn_head = RPNHead(in_channels=C.BACKBONE_CHANNELS,
                                 num_anchors=self.cfg.anchors.num_anchors_per_location,
                                 dtype=dtype)
