@@ -139,7 +139,21 @@ class GPT2Tokenizer:
             ids = [self.bos_token_id] + ids + [self.eos_token_id]
         return ids
 
-    def decode(self, ids: Iterable[int], skip_special_tokens: bool = True) -> str:
+    @staticmethod
+    def clean_up_tokenization(text: str) -> str:
+        """HF PreTrainedTokenizerBase.clean_up_tokenization: undo BPE
+        artifacts around punctuation/contractions. The reference decodes
+        with clean_up_tokenization_spaces=True (HF<4.45 default;
+        generate_reports_for_images.py:118-119), so this is on the greedy
+        string-parity critical path."""
+        return (text.replace(" .", ".").replace(" ?", "?")
+                .replace(" !", "!").replace(" ,", ",")
+                .replace(" ' ", "'").replace(" n't", "n't")
+                .replace(" 'm", "'m").replace(" 's", "'s")
+                .replace(" 've", "'ve").replace(" 're", "'re"))
+
+    def decode(self, ids: Iterable[int], skip_special_tokens: bool = True,
+               clean_up_tokenization_spaces: bool = True) -> str:
         toks = []
         for i in ids:
             tok = self.decoder.get(int(i), "")
@@ -153,11 +167,16 @@ class GPT2Tokenizer:
                 buf.append(self.byte_decoder[ch])
             else:  # special tokens kept verbatim
                 buf.extend(ch.encode("utf-8"))
-        return buf.decode("utf-8", errors="replace")
+        out = buf.decode("utf-8", errors="replace")
+        if clean_up_tokenization_spaces:
+            out = self.clean_up_tokenization(out)
+        return out
 
     def batch_decode(self, batch: Iterable[Iterable[int]],
-                     skip_special_tokens: bool = True) -> List[str]:
-        return [self.decode(row, skip_special_tokens) for row in batch]
+                     skip_special_tokens: bool = True,
+                     clean_up_tokenization_spaces: bool = True) -> List[str]:
+        return [self.decode(row, skip_special_tokens,
+                            clean_up_tokenization_spaces) for row in batch]
 
     @property
     def vocab_size(self) -> int:

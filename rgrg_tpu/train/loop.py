@@ -10,8 +10,11 @@ train_full_model.py (stages 2/3). Differences by design:
     (accumulation remains available via TrainConfig.grad_accumulation_steps).
 
 ReduceLROnPlateau is replicated via optax.contrib.reduce_on_plateau-style
-logic implemented here (factor 0.5 on stalled validation loss), driving a
-scale on the injected learning rate.
+logic implemented here (factor 0.5 on stalled validation loss). The scale
+takes effect through trainer.lr_scale_transform — a multiplicative update
+scale chained after adamw, mutated in the optimizer state each time the
+plateau scheduler fires (exactly equivalent to changing adamw's lr, which
+its update is linear in).
 """
 
 from __future__ import annotations
@@ -125,7 +128,17 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
                                             for k, v in losses.items()})
             if val_fn is not None and step % evaluate_every == 0:
                 val_loss = float(val_fn(state))
+                prev_scale = plateau.scale
                 scale = plateau.update(val_loss)
+                if scale != prev_scale:
+                    # apply ReduceLROnPlateau: rewrite the optimizer's LR
+                    # multiplier in place (trainer.lr_scale_transform)
+                    state = trainer.TrainState(
+                        state.params,
+                        trainer.set_lr_scale(
+                            state.opt_state, scale,
+                            mesh_lib.replicated(mesh) if mesh else None),
+                        state.step)
                 writer.write_scalars(step, {"val/loss": val_loss,
                                             "train/lr_scale": scale})
                 if val_loss < best_val:

@@ -63,15 +63,74 @@ def trainable_mask(params: Dict[str, Any], stage: int) -> Dict[str, Any]:
     return mask
 
 
+class LRScaleState(NamedTuple):
+    """State of the dynamic LR multiplier (ReduceLROnPlateau's knob)."""
+    scale: jnp.ndarray
+
+
+def lr_scale_transform() -> optax.GradientTransformation:
+    """Multiplies the final updates by a runtime-adjustable scalar.
+
+    optax.adamw's update is linear in the learning rate (both the
+    Adam step and the decoupled weight-decay term carry the lr factor),
+    so scaling the updates by s is exactly equivalent to using lr*s —
+    this is how ReduceLROnPlateau (reference
+    training_script_object_detector.py:621, train_full_model.py) takes
+    effect without rebuilding the optimizer. The loop mutates the scale
+    via set_lr_scale()."""
+    def init_fn(params):
+        del params
+        return LRScaleState(jnp.ones((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        scaled = jax.tree.map(lambda u: u * state.scale.astype(u.dtype), updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def set_lr_scale(opt_state, scale, sharding=None):
+    """Returns opt_state with every LRScaleState leaf set to `scale`
+    (handles nesting under MultiSteps/multi_transform transparently)."""
+    new = jnp.asarray(scale, jnp.float32)
+    if sharding is not None:
+        new = jax.device_put(new, sharding)
+
+    def repl(node):
+        return LRScaleState(new) if isinstance(node, LRScaleState) else node
+
+    return jax.tree_util.tree_map(
+        repl, opt_state, is_leaf=lambda x: isinstance(x, LRScaleState))
+
+
+def get_lr_scale(opt_state) -> float:
+    """Reads the current LR scale out of the optimizer state."""
+    out = []
+
+    def visit(node):
+        if isinstance(node, LRScaleState):
+            out.append(float(node.scale))
+        return node
+
+    jax.tree_util.tree_map(visit, opt_state,
+                           is_leaf=lambda x: isinstance(x, LRScaleState))
+    if not out:
+        raise ValueError("no LRScaleState in opt_state")
+    return out[0]
+
+
 def make_optimizer(params: Dict[str, Any], tcfg: TrainConfig, stage: int,
                    learning_rate: Optional[float] = None) -> optax.GradientTransformation:
     lr = learning_rate if learning_rate is not None else (
         tcfg.detector_learning_rate if stage == 1 else tcfg.learning_rate)
     mask = trainable_mask(params, stage)
-    opt = optax.multi_transform(
-        {"train": optax.adamw(lr, weight_decay=tcfg.weight_decay),
-         "frozen": optax.set_to_zero()},
-        jax.tree.map(lambda t: "train" if t else "frozen", mask))
+    opt = optax.chain(
+        optax.multi_transform(
+            {"train": optax.adamw(lr, weight_decay=tcfg.weight_decay),
+             "frozen": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "frozen", mask)),
+        lr_scale_transform())
     if tcfg.grad_accumulation_steps > 1:
         opt = optax.MultiSteps(opt, tcfg.grad_accumulation_steps)
     return opt

@@ -46,6 +46,44 @@ class TestTokenizer:
         ids = tok.encode("can't stop")
         assert tok.decode(ids) == "can't stop"
 
+    def test_decode_cleanup_matches_hf(self, tmp_path):
+        """decode(clean_up_tokenization_spaces=True) must be byte-identical
+        to HF (reference decodes with it ON,
+        generate_reports_for_images.py:118-119). Oracle: a real HF slow
+        GPT2Tokenizer built from local vocab/merges files."""
+        import json
+        import transformers
+
+        byte_enc = _bytes_to_unicode()
+        encoder = {t: i for i, t in enumerate(sorted(set(byte_enc.values())))}
+        encoder["ll"] = len(encoder)
+        encoder[ENDOFTEXT] = len(encoder)
+        vocab_file = tmp_path / "vocab.json"
+        merges_file = tmp_path / "merges.txt"
+        vocab_file.write_text(json.dumps(encoder), encoding="utf-8")
+        merges_file.write_text("#version: 0.2\nl l\n", encoding="utf-8")
+
+        hf = transformers.GPT2Tokenizer(str(vocab_file), str(merges_file))
+        tok = GPT2Tokenizer(encoder, [("l", "l")])
+
+        corpus = [
+            "the heart is normal .",
+            "we ca n't exclude effusion , or can we ?",
+            "it 's stable ; she 've -- they 're here ! i 'm done .",
+            "mid ' spaced ' quotes and a ' lone tick",
+            "a . . repeated . dots .. and !? mixed",
+            "tell me you will n't 've regressed",
+            "hello fellow llamas",  # exercises the ll merge
+        ]
+        for text in corpus:
+            ids = tok.encode(text)
+            assert ids == hf.encode(text), text
+            for cleanup in (True, False):
+                got = tok.decode(ids, clean_up_tokenization_spaces=cleanup)
+                want = hf.decode(ids, skip_special_tokens=True,
+                                 clean_up_tokenization_spaces=cleanup)
+                assert got == want, (text, cleanup, got, want)
+
 
 class TestReportAssembly:
     def test_split_keeps_decimals(self):
