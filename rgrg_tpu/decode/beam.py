@@ -16,7 +16,10 @@ reproduces the HF (transformers 4.19) semantics exactly:
 
 The finished pool is a fixed [B, K] top-k set (HF's add-with-eviction keeps
 exactly the top K by score, so a top-k merge is equivalent). The KV cache is
-gathered per step by beam ancestry, like the reference's _reorder_cache.
+NEVER reordered: beam reordering updates a tiny [B, K, T] ancestry table and
+attention reads the right rows through it (gpt2.decode_step_beam) — the HF
+_reorder_cache equivalent without the per-step full-cache gather that broke
+while_loop carry donation (~7 ms/step of copies at 256 rows on v5e).
 """
 
 from __future__ import annotations
@@ -128,40 +131,43 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
             newly_done = (count >= k) & (worst_finished >= best_possible)
         done = done | newly_done
 
-        flat_beam = (jnp.arange(b)[:, None] * k + new_beam).reshape(-1)
         state = (out, new_scores, f_scores, f_seqs, f_lens, done)
-        return flat_beam, new_tok.reshape(-1), state
+        return new_beam, new_tok.reshape(-1), state
 
-    def reorder_cache(cache, flat_beam):
-        """Cache reorder by beam ancestry (HF _reorder_cache equivalent).
+    def reorder_ancestry(anc, new_beam, next_slot):
+        """HF _reorder_cache equivalent on the ancestry table: continuing
+        beam k' inherits parent new_beam[b,k']'s history; the slot about to
+        be written belongs to lane k' itself."""
+        anc = jnp.take_along_axis(anc, new_beam[:, :, None], axis=1)
+        return anc.at[:, :, next_slot].set(jnp.arange(k)[None, :])
 
-        The dominant beam cost on TPU: inside the while_loop the gather
-        breaks carry donation, so the cache is copied ~2x per step (measured
-        ~7 ms/step at 256 rows x 61 slots bf16 vs ~2.3 ms compute). A
-        one-hot-contraction variant measured slower end to end; a cache
-        layout with the beam dim leading is the round-2 fix (STATUS.md)."""
-        return jax.tree.map(lambda c: c[:, flat_beam], cache)
-
-    # first token from prefill logits (cur_len = 1: just BOS)
+    # first token from prefill logits (cur_len = 1: just BOS). All K lanes
+    # of an item share identical prefill KV (feats repeated), so identity
+    # ancestry is correct for slots 0..1 regardless of the first reorder.
+    t_total = cache["k"].shape[3]
+    anc = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                           (b, k, t_total))
     state = (out, beam_scores, f_scores, f_seqs, f_lens, done)
-    flat_beam, tok, state = process(logits0, state, 1)
-    cache = reorder_cache(cache, flat_beam)
+    new_beam, tok, state = process(logits0, state, 1)
+    anc = reorder_ancestry(anc, new_beam, 2)
 
     def cond(carry):
-        t, _, state, _ = carry
+        t, _, state, _, _ = carry
         done = state[5]
         # reference loop breaks when cur_len >= max_length; cur_len = t+2
         return (t + 2 < max_length) & ~jnp.all(done)
 
     def body(carry):
-        t, tok, state, cache = carry
-        logits, cache = gpt2.decode_step(params, tok, t, cache, cfg,
-                                         precision, no_image=no_image)
-        flat_beam, tok, state = process(logits, state, t + 2)
-        cache = reorder_cache(cache, flat_beam)
-        return t + 1, tok, state, cache
+        t, tok, state, cache, anc = carry
+        logits, cache = gpt2.decode_step_beam(params, tok, t, cache, anc,
+                                              cfg, precision,
+                                              no_image=no_image)
+        new_beam, tok, state = process(logits, state, t + 2)
+        anc = reorder_ancestry(anc, new_beam, t + 3)
+        return t + 1, tok, state, cache, anc
 
-    t, _, state, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), tok, state, cache))
+    t, _, state, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tok, state, cache, anc))
     out, beam_scores, f_scores, f_seqs, f_lens, done = state
 
     # ---- finalize: unfinished batches contribute their alive beams ----

@@ -166,7 +166,8 @@ class BERTScorer:
         return [float(x) for x in np.asarray(f1)[:len(pairs)]]
 
 
-def load_bertscorer(model_dir: str) -> BERTScorer:
+def load_bertscorer(model_dir: str, cfg: BertConfig = DISTILBERT_CONFIG,
+                    layer: int = BERTSCORE_LAYER) -> BERTScorer:
     """Builds the default soft-dedup scorer from a local
     distilbert-base-uncased directory (pytorch_model.bin/model.safetensors +
     vocab.txt). Offline environment: weights must already be on disk."""
@@ -183,4 +184,30 @@ def load_bertscorer(model_dir: str) -> BERTScorer:
         sd = load_file(st_path)
     else:
         raise FileNotFoundError(f"no weights in {model_dir}")
-    return BERTScorer(convert_distilbert(sd), tokenizer)
+    return BERTScorer(convert_distilbert(sd), tokenizer, cfg=cfg, layer=layer)
+
+
+_DEFAULT_SCORER_CACHE: Dict[str, Any] = {}
+
+
+def default_scorer(cfg: BertConfig = DISTILBERT_CONFIG,
+                   layer: int = BERTSCORE_LAYER,
+                   _cache: bool = True) -> BERTScorer | None:
+    """The framework-default soft-dedup scorer, or None when no weights are
+    available locally.
+
+    Looks at $RGRG_DISTILBERT_DIR (a local distilbert-base-uncased directory).
+    The reference hard-depends on downloading distilbert at import
+    (generate_reports_for_images.py:62); this environment is offline, so
+    absence degrades to exact-dedup-only — callers that pass no explicit
+    similarity_fn get soft dedup automatically once weights exist on disk."""
+    model_dir = os.environ.get("RGRG_DISTILBERT_DIR", "")
+    if not model_dir or not os.path.isdir(model_dir):
+        return None
+    key = (model_dir, layer)
+    if _cache and key in _DEFAULT_SCORER_CACHE:
+        return _DEFAULT_SCORER_CACHE[key]
+    scorer = load_bertscorer(model_dir, cfg=cfg, layer=layer)
+    if _cache:
+        _DEFAULT_SCORER_CACHE[key] = scorer
+    return scorer

@@ -211,7 +211,7 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
                    generate_language: bool = True,
                    num_beams: int = 1, max_length: int = 64,
                    max_language_batches: int = 100,
-                   similarity_fn=None,
+                   similarity_fn="auto",
                    chexbert: Optional[Callable[[List[str]], np.ndarray]] = None,
                    ) -> Dict[str, Any]:
     """Full validation pass: detector + classifier metrics over all batches;
@@ -220,6 +220,12 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
 
     chexbert: optional callable reports -> [14, N] labels for CE scores.
     """
+    if similarity_fn == "auto":
+        # reference-default distilbert BERTScore soft dedup for report
+        # assembly (evaluate_language_model.py:1048-1057); None when no
+        # local weights — exact dedup only
+        from rgrg_tpu.eval.bertscore import default_scorer
+        similarity_fn = default_scorer()
     det_metrics = DetectorMetrics()
     sel_metrics = BinaryMetrics()
     abn_metrics = BinaryMetrics()

@@ -42,11 +42,17 @@ class GeneratedReport:
 class ReportGenerator:
     def __init__(self, params, tokenizer: GPT2Tokenizer,
                  cfg: ModelConfig = ModelConfig(),
-                 similarity_fn: Optional[SimilarityFn] = None,
+                 similarity_fn: Union[SimilarityFn, str, None] = "auto",
                  bertscore_threshold: float = 0.9):
         self.model = RGRG(cfg=cfg)
         self.params = params
         self.tokenizer = tokenizer
+        if similarity_fn == "auto":
+            # reference default: distilbert BERTScore soft dedup
+            # (generate_reports_for_images.py:60-96); degrades to
+            # exact-dedup-only when no local weights exist
+            from rgrg_tpu.eval.bertscore import default_scorer
+            similarity_fn = default_scorer()
         self.similarity_fn = similarity_fn
         self.threshold = bertscore_threshold
 

@@ -419,3 +419,95 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
     logits = jnp.dot(x[:, 0, :], params["wte"]["embedding"].T, precision=precision)
     return logits, cache
+
+
+def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
+                     cache: Dict[str, jnp.ndarray], ancestry: jnp.ndarray,
+                     cfg: DecoderConfig, precision=None,
+                     no_image: bool = False):
+    """One beam-search generation step with ancestry-indexed attention.
+
+    token: [B*K]; ancestry: [B, K, T] int32 — for each (item, live beam,
+    cache slot) the ROW (beam lane within the item) whose K/V holds that
+    slot's token. The cache is NEVER reordered: rows only receive
+    dynamic_update_slice writes, so XLA keeps the while_loop carry aliased
+    in place (the greedy path's property). Beam reordering — HF's
+    _reorder_cache, reference language_model.py:529-607 via GenerationMixin —
+    becomes a gather of the tiny ancestry table instead of the full cache;
+    attention then scores the query against ALL K rows of its item and
+    combines them with a one-hot of the ancestry (K x the score flops, cheap
+    on the MXU; vs ~7 ms/step of HBM gather copies at 256 rows on v5e).
+
+    Numerics match the gathered path: the one-hot contraction picks the
+    identical products, summing zeros elsewhere.
+
+    Returns (logits [B*K, vocab], updated cache).
+    """
+    bk = token.shape[0]
+    b, k_beams, t_total = ancestry.shape
+    pos = (step + 1) * jnp.ones((bk, 1), jnp.int32)
+    x = params["wte"]["embedding"][token[:, None]] + _positions_embed(params, pos, cfg)
+
+    slot = step + 2
+    visible = jnp.arange(t_total)[None, None, None, :] <= slot     # [1,1,1,T]
+    if no_image:
+        visible = visible & (jnp.arange(t_total)[None, None, None, :] != 0)
+    bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)     # [1,1,1,T]
+    # ancestry one-hot selector [B,K,J,T] in the compute dtype
+    onehot = (ancestry[:, :, None, :]
+              == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, x.dtype))
+
+    quantized = cache["k"].dtype == jnp.int8
+    for i in range(cfg.num_layers):
+        bp = params[f"h_{i}"]
+        x_norm = _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps)
+        qkv = _dense(x_norm, bp["attn"]["c_attn"], precision)
+        q, k_w, v_w = jnp.split(qkv, 3, axis=-1)
+        qh = _split_heads(q, cfg.num_heads, cfg.head_dim)          # [BK,H,1,D]
+        kh = _split_heads(k_w, cfg.num_heads, cfg.head_dim)
+        vh = _split_heads(v_w, cfg.num_heads, cfg.head_dim)
+
+        if quantized:
+            qk, sk = _quantize_kv(kh)
+            qv, sv = _quantize_kv(vh)
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], qk[None], (i, 0, 0, slot, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], qv[None], (i, 0, 0, slot, 0))
+            cache["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], sk[None], (i, 0, 0, slot, 0))
+            cache["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], sv[None], (i, 0, 0, slot, 0))
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], kh.astype(cache["k"].dtype)[None], (i, 0, 0, slot, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], vh.astype(cache["v"].dtype)[None], (i, 0, 0, slot, 0))
+            cache = {"k": ck, "v": cv}
+
+        k_all = _cache_read(cache, "k", i, x.dtype).reshape(
+            b, k_beams, cfg.num_heads, t_total, cfg.head_dim)      # [B,J,H,T,D]
+        v_all = _cache_read(cache, "v", i, x.dtype).reshape(
+            b, k_beams, cfg.num_heads, t_total, cfg.head_dim)
+        q4 = qh[:, :, 0, :].reshape(b, k_beams, cfg.num_heads, cfg.head_dim)
+
+        s_all = jnp.einsum("bkhd,bjhtd->bkhjt", q4, k_all,
+                           precision=precision) * scale            # [B,K,H,J,T]
+        sel = onehot[:, :, None, :, :]                             # [B,K,1,J,T]
+        w = jnp.sum(s_all * sel, axis=3) + bias                    # [B,K,H,T]
+        w = jax.nn.softmax(w, axis=-1).astype(v_all.dtype)
+        wsel = w[:, :, :, None, :] * sel                           # [B,K,H,J,T]
+        ctx = jnp.einsum("bkhjt,bjhtd->bkhd", wsel, v_all,
+                         precision=precision)
+        a = ctx.reshape(bk, cfg.num_heads, 1, cfg.head_dim)
+
+        x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
+        m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
+        x = x + _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),
+                       bp["mlp"]["c_proj"], precision)
+
+    x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
+    logits = jnp.dot(x[:, 0, :], params["wte"]["embedding"].T, precision=precision)
+    return logits, cache

@@ -128,3 +128,57 @@ def test_compute_nlg_scores_api():
             "cider"} == set(scores)
     for v in scores.values():
         assert 0.0 <= v <= 10.0
+
+
+class TestMeteorJar:
+    def test_graceful_absence(self, monkeypatch):
+        monkeypatch.delenv("RGRG_METEOR_JAR", raising=False)
+        assert nlg.MeteorJar.maybe() is None
+        monkeypatch.setenv("RGRG_METEOR_JAR", "/nonexistent/meteor.jar")
+        assert nlg.MeteorJar.maybe() is None
+
+    def test_stdio_protocol_against_emulator(self, tmp_path):
+        """Drives _stat/corpus against a python emulator of meteor-1.5.jar's
+        stdio protocol (SCORE -> stats, EVAL -> per-segment scores + final),
+        verifying our pycocoevalcap-protocol implementation end to end."""
+        import subprocess
+        import sys
+
+        fake = tmp_path / "fake_meteor.py"
+        fake.write_text(
+            "import sys\n"
+            "for line in sys.stdin:\n"
+            "    line = line.strip()\n"
+            "    if line.startswith('SCORE'):\n"
+            "        n = len(line.split(' ||| ')) - 1\n"
+            "        print(' '.join(['1.0'] * n)); sys.stdout.flush()\n"
+            "    elif line.startswith('EVAL'):\n"
+            "        segs = line.split(' ||| ')[1:]\n"
+            "        for _ in segs: print('0.5')\n"
+            "        print(str(0.25 * len(segs))); sys.stdout.flush()\n")
+
+        jar = nlg.MeteorJar.__new__(nlg.MeteorJar)
+        jar.jar = str(fake)
+        jar._proc = subprocess.Popen(
+            [sys.executable, str(fake)], stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE, text=True, bufsize=1)
+        cands = toks(["the lungs are clear .", "no effusion ."])
+        refs = [toks(["lungs are clear ."]), toks(["no pleural effusion ."])]
+        got = jar.corpus(cands, refs)
+        assert got == 0.5  # 0.25 * 2 segments from the emulator
+        jar.close()
+
+    def test_as_text_strips_protocol_separators(self):
+        assert nlg.MeteorJar._as_text(["a", "|||", "b"]) == "a  b".replace("  ", " ")
+        assert nlg.MeteorJar._as_text("x ||| y") == "x  y".replace("  ", " ")
+
+    @pytest.mark.skipif(nlg.MeteorJar.maybe() is None,
+                        reason="no meteor jar + JVM in this environment")
+    def test_real_jar_close_to_pure_python(self):
+        cands = toks(["the lungs are clear .", "there is no pleural effusion ."])
+        refs = [toks(["lungs are clear ."]), toks(["no pleural effusions ."])]
+        jar = nlg.MeteorJar()
+        j = jar.corpus(cands, refs)
+        p = nlg.Meteor().corpus(cands, refs)
+        assert abs(j - p) < 0.05
+        jar.close()
