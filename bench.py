@@ -1,20 +1,23 @@
 """Throughput benchmark: full-report generation pipeline on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line whose primary metric is the PRODUCT-path throughput —
+the real serving pipeline end to end (host preprocess -> detect -> budgeted
+decode -> tokenizer decode -> report assembly, rgrg_tpu.serving) — plus the
+device-path (detect + decode only) and beam-4 numbers as extra fields.
 
 Workload (mirrors the reference product entry point
 generate_reports_for_images.py, but batched — the reference runs 1 image at
-a time): batch of 512x512 CXR images -> detector (ResNet-50 + RPN + NMS +
-RoIAlign + RoI heads + classifier heads) -> greedy per-region sentence
-decode with GPT-2 Medium pseudo-attention (KV-cached, static buffers).
+a time): 512x512 CXR images -> detector (ResNet-50 + RPN + NMS + RoIAlign +
+RoI heads + classifier heads) -> per-region sentence decode with GPT-2
+Medium pseudo-attention (KV-cached, static buffers).
 
-Weights are random in round 1 (published checkpoints are not fetchable in
-this environment), so sentences don't hit EOS naturally; we bound decode at
+Weights are random (published checkpoints are not fetchable in this
+environment), so sentences don't hit EOS naturally; we bound decode at
 SENT_TOKENS=60 tokens/region — the reference's own sentence-length envelope
 (~95% of region sentences are < 60 tokens, run_configurations.py:50-51) —
-and charge REGIONS_PER_IMAGE=6 decoded regions per report (paper's average
-selection count).
+and decode REGIONS_PER_IMAGE=6 regions per report (paper's average selection
+count) via the selection_override hook so the region count is deterministic
+under random weights.
 """
 
 from __future__ import annotations
@@ -28,32 +31,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from rgrg_tpu.core.config import DetectorConfig, ModelConfig
+from rgrg_tpu.inference import ReportGenerator
 from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.serving import generate_reports_pipelined
+from rgrg_tpu.text.tokenizer import GPT2Tokenizer
 
 BATCH = 24
 REGIONS_PER_IMAGE = 6
 SENT_TOKENS = 60
+BEAM_BATCH = 8          # round-1 beam comparison point (STATUS.md)
 BASELINE_REPORTS_PER_SEC = 50.0  # BASELINE.json north star
 
 
-def main():
+def build():
     # serving config: bf16 compute in the detector (params stay f32; box
     # math stays f32), bf16 decoder params, int8 KV cache.
-    # (use_fused_roi_fc6 wins 16% standalone but currently faults inside the
-    # full detect graph on v5e — kept opt-in; see STATUS.md round-2 plan.)
     cfg = ModelConfig(detector=DetectorConfig(dtype="bfloat16"))
     model = RGRG(cfg=cfg)
-    rng = jax.random.PRNGKey(0)
-    params = model.init(rng)
+    params = model.init(jax.random.PRNGKey(0))
     # decoder in bf16: decode is HBM-bandwidth-bound; halves weight traffic
     params["decoder"] = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params["decoder"])
+    return model, params
 
+
+def bench_device_path(model, params):
+    """detect + decode on device, fixed selection (round-1 metric)."""
     images = jax.random.normal(jax.random.PRNGKey(1),
                                (BATCH, 512, 512, 1), jnp.float32) * 0.3
-
-    # deterministic selection pattern: 6 regions per image
     sel = np.zeros((BATCH, 29), bool)
     sel[:, :REGIONS_PER_IMAGE] = True
     sel = jnp.asarray(sel)
@@ -61,25 +67,20 @@ def main():
 
     def run_once():
         det = model.detect(params, images)
-        out, decoded = model.decode_selected(
+        out, _ = model.decode_selected(
             params, det["region_features"], sel, r_budget, SENT_TOKENS,
             kv_cache_dtype=jnp.int8)
         return out
 
-    # warmup / compile
     run_once().block_until_ready()
     run_once().block_until_ready()
-
-    profile_dir = None
-    if "--profile" in sys.argv:
-        from rgrg_tpu.utils.logging import trace
-        profile_dir = "bench_trace"
 
     iters = 20
+    profiling = "--profile" in sys.argv
     t0 = time.perf_counter()
-    if profile_dir:
+    if profiling:
         from rgrg_tpu.utils.logging import trace
-        with trace(profile_dir):
+        with trace("bench_trace"):
             for _ in range(iters):
                 out = run_once()
             out.block_until_ready()
@@ -88,13 +89,83 @@ def main():
             out = run_once()
         out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
+    return BATCH / dt
 
-    reports_per_sec = BATCH / dt
+
+def bench_product_path(model, params):
+    """The real serving pipeline: raw uint8 images in, report STRINGS out
+    (preprocess, classifier readback, budget pick, tokenizer decode, exact
+    dedup + assembly) via serving.generate_reports_pipelined."""
+    gen = ReportGenerator.__new__(ReportGenerator)
+    gen.model = model
+    gen.params = params
+    gen.tokenizer = GPT2Tokenizer.dummy()
+    gen.similarity_fn = None       # no local distilbert weights on the bench
+    gen.threshold = 0.9
+
+    rng = np.random.default_rng(0)
+    n_images = BATCH * 4
+    raw = [rng.integers(0, 255, (700, 600)).astype(np.uint8)
+           for _ in range(n_images)]
+    override = np.zeros((n_images, 29), bool)
+    override[:, :REGIONS_PER_IMAGE] = True
+
+    def run(images_subset, override_subset):
+        n = 0
+        for reports in generate_reports_pipelined(
+                gen, images_subset, batch_size=BATCH, num_beams=1,
+                max_length=SENT_TOKENS, selection_override=override_subset):
+            n += len(reports)
+            assert all(isinstance(r.report, str) for r in reports)
+        return n
+
+    run(raw[:BATCH], override[:BATCH])       # warmup / compile
+    t0 = time.perf_counter()
+    n = run(raw, override)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_beam4(model, params):
+    """Beam-4 + early stopping (the reference product default,
+    generate_reports_for_images.py:109-114), decode path at B=8."""
+    images = jax.random.normal(jax.random.PRNGKey(2),
+                               (BEAM_BATCH, 512, 512, 1), jnp.float32) * 0.3
+    sel = np.zeros((BEAM_BATCH, 29), bool)
+    sel[:, :REGIONS_PER_IMAGE] = True
+    sel = jnp.asarray(sel)
+    r_budget = model.budget_for(BEAM_BATCH * REGIONS_PER_IMAGE, BEAM_BATCH)
+    det = model.detect(params, images)
+    feats = det["region_features"]
+
+    def run_once():
+        out, _ = model.decode_selected(
+            params, feats, sel, r_budget, SENT_TOKENS, num_beams=4,
+            early_stopping=True, kv_cache_dtype=jnp.int8)
+        return out
+
+    run_once().block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run_once()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return BEAM_BATCH / dt
+
+
+def main():
+    model, params = build()
+    device_rps = bench_device_path(model, params)
+    product_rps = bench_product_path(model, params)
+    beam_rps = bench_beam4(model, params)
     print(json.dumps({
-        "metric": "full_reports_per_sec_per_chip_greedy",
-        "value": round(reports_per_sec, 3),
+        "metric": "product_reports_per_sec_per_chip_greedy",
+        "value": round(product_rps, 3),
         "unit": "reports/s",
-        "vs_baseline": round(reports_per_sec / BASELINE_REPORTS_PER_SEC, 3),
+        "vs_baseline": round(product_rps / BASELINE_REPORTS_PER_SEC, 3),
+        "device_path_reports_per_sec": round(device_rps, 3),
+        "beam4_decode_reports_per_sec": round(beam_rps, 3),
     }))
 
 

@@ -123,6 +123,11 @@ class SentenceCollector:
     image_ids: List[int] = dataclasses.field(default_factory=list)
     gen_reports: List[str] = dataclasses.field(default_factory=list)
     ref_reports: List[str] = dataclasses.field(default_factory=list)
+    # per-report artifact payloads (evaluate_language_model.py:511-578):
+    # [(region name, generated sentence), ...] and the soft-dedup removal map
+    report_region_sents: List[List] = dataclasses.field(default_factory=list)
+    report_removed: List[Dict[str, List[str]]] = dataclasses.field(
+        default_factory=list)
     _next_image_id: int = 0
 
     def add_batch(self, output_ids: np.ndarray, decoded_mask: np.ndarray,
@@ -134,6 +139,7 @@ class SentenceCollector:
         b = output_ids.shape[0]
         for i in range(b):
             ordered = []
+            region_sents = []
             image_id = self._next_image_id
             self._next_image_id += 1
             for r in range(C.NUM_REGIONS):
@@ -141,6 +147,7 @@ class SentenceCollector:
                     text = tokenizer.decode(output_ids[i, r],
                                             skip_special_tokens=True)
                     ordered.append(text)
+                    region_sents.append((C.REGION_NAMES[r], text))
                     ref = reference_phrases[i][r]
                     if ref:  # only score regions with a gt sentence
                         self.gen_sents.append(text)
@@ -150,9 +157,13 @@ class SentenceCollector:
                         if region_is_abnormal is not None:
                             self.is_abnormal.append(bool(region_is_abnormal[i, r]))
             if reference_reports is not None and reference_reports[i]:
-                self.gen_reports.append(
-                    assemble_report(ordered, similarity_fn, threshold))
+                report, removed = assemble_report(ordered, similarity_fn,
+                                                  threshold,
+                                                  return_removed=True)
+                self.gen_reports.append(report)
                 self.ref_reports.append(reference_reports[i])
+                self.report_region_sents.append(region_sents)
+                self.report_removed.append(removed)
 
     def compute(self, metrics=("bleu", "meteor", "rouge", "cider"),
                 cider_df=None, cider_log_n=None) -> Dict[str, Any]:
@@ -213,12 +224,19 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
                    max_language_batches: int = 100,
                    similarity_fn="auto",
                    chexbert: Optional[Callable[[List[str]], np.ndarray]] = None,
+                   artifacts_dir: Optional[str] = None, step: int = 0,
+                   num_figure_images: int = 0,
+                   cider_df=None, cider_log_n=None,
                    ) -> Dict[str, Any]:
     """Full validation pass: detector + classifier metrics over all batches;
     language generation/metrics over <= max_language_batches (the reference
     caps at 100, evaluate_language_model.py:1184-1206).
 
     chexbert: optional callable reports -> [14, N] labels for CE scores.
+    artifacts_dir: when set, writes the reference's txt artifacts —
+    generated sentence/report dumps (evaluate_language_model.py:511-578) and,
+    with num_figure_images > 0, region-group bbox figures for the first
+    batch's images (training_script_object_detector.py:93-147).
     """
     if similarity_fn == "auto":
         # reference-default distilbert BERTScore soft dedup for report
@@ -227,7 +245,9 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
         from rgrg_tpu.eval.bertscore import default_scorer
         similarity_fn = default_scorer()
     det_metrics = DetectorMetrics()
-    sel_metrics = BinaryMetrics()
+    # selection P/R/F1 over all / normal / abnormal regions (the reference's
+    # region_selection_scores subsets, evaluate_model.py:332-357)
+    sel_metrics = {s: BinaryMetrics() for s in ("all", "normal", "abnormal")}
     abn_metrics = BinaryMetrics()
     collector = SentenceCollector()
 
@@ -236,13 +256,22 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
         class_detected = np.asarray(det["class_detected"])
         det_metrics.update(np.asarray(det["top_region_boxes"]), class_detected,
                            batch["gt_boxes"], batch["gt_valid"])
+        if bi == 0 and artifacts_dir and num_figure_images > 0:
+            from rgrg_tpu.eval.artifacts import save_figures
+            save_figures(np.asarray(batch["images"]), batch.get("gt_boxes"),
+                         np.asarray(det["top_region_boxes"]), artifacts_dir,
+                         step=step, max_images=num_figure_images)
         if "region_has_sentence" in batch:
-            sel_metrics.update(np.asarray(det["selected_regions"]),
-                               batch["region_has_sentence"].astype(bool),
-                               class_detected)
+            selected = np.asarray(det["selected_regions"])
+            has_sent = batch["region_has_sentence"].astype(bool)
+            abnormal = batch["region_is_abnormal"].astype(bool)
+            sel_metrics["all"].update(selected, has_sent, class_detected)
+            sel_metrics["normal"].update(selected, has_sent,
+                                         class_detected & ~abnormal)
+            sel_metrics["abnormal"].update(selected, has_sent,
+                                           class_detected & abnormal)
             abn_metrics.update(np.asarray(det["predicted_abnormal"]),
-                               batch["region_is_abnormal"].astype(bool),
-                               class_detected)
+                               abnormal, class_detected)
 
         if (generate_language and tokenizer is not None
                 and bi < max_language_batches and "reference_phrases" in batch):
@@ -259,16 +288,51 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
 
     out: Dict[str, Any] = {
         "object_detector": det_metrics.compute(),
-        "region_selection": sel_metrics.compute(),
+        "region_selection": {s: m.compute() for s, m in sel_metrics.items()},
         "region_abnormal": abn_metrics.compute(),
     }
-    out.update(collector.compute())
+    out.update(collector.compute(cider_df=cider_df, cider_log_n=cider_log_n))
     if chexbert is not None and collector.gen_reports:
         from rgrg_tpu.eval.chexbert import compute_ce_scores
         gen_labels = chexbert(collector.gen_reports)
         ref_labels = chexbert(collector.ref_reports)
         out.setdefault("report", {})["CE"] = compute_ce_scores(gen_labels, ref_labels)
+    if artifacts_dir:
+        from rgrg_tpu.eval.artifacts import (write_reports_txt,
+                                             write_sentences_txt)
+        if collector.gen_sents:
+            write_sentences_txt(collector, artifacts_dir, step)
+        if collector.gen_reports:
+            write_reports_txt(collector, artifacts_dir, step)
     return out
+
+
+def validation_losses(model: RGRG, params: Dict[str, Any],
+                      batches: Iterable[Dict[str, Any]], stage: int,
+                      tcfg, lm_budget: int = 128,
+                      max_batches: int = 20,
+                      rng: Optional[jax.Array] = None) -> Dict[str, float]:
+    """Per-module validation losses, the reference's val_losses_dict
+    (evaluate_model.py:285-527): mean of each loss component plus "total"
+    over up to max_batches validation batches (dropout off via train=False
+    semantics inside compute_losses' eval rng use)."""
+    from rgrg_tpu.train.trainer import compute_losses
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    sums: Dict[str, float] = {}
+    n = 0
+    for bi, batch in enumerate(batches):
+        if bi >= max_batches:
+            break
+        batch = {k: v for k, v in batch.items()
+                 if isinstance(v, (np.ndarray, jnp.ndarray))}
+        total, losses, _ = compute_losses(model, params, batch, rng, stage,
+                                          tcfg, lm_budget)
+        sums["total"] = sums.get("total", 0.0) + float(total)
+        for k, v in losses.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / n for k, v in sums.items()} if n else {"total": 0.0}
 
 
 # ---------------------------------------------------------------------------

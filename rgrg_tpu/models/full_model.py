@@ -143,7 +143,9 @@ class RGRG:
     def generate(self, params: Dict[str, Any], images: jnp.ndarray,
                  max_length: Optional[int] = None,
                  num_beams: int = 1, early_stopping: bool = False,
-                 precision=None) -> Dict[str, Any]:
+                 precision=None,
+                 selection_override: Optional[jnp.ndarray] = None
+                 ) -> Dict[str, Any]:
         """Full inference for a batch of images.
 
         Equivalent surface to reference ReportGenerationModel.generate
@@ -151,11 +153,18 @@ class RGRG:
         region plus detections / masks for mapping sentences to regions.
         num_beams=1 is greedy; the reference product default is beam 4 with
         early stopping (generate_reports_for_images.py:109-114).
+
+        selection_override: optional [B, 29] bool mask decoded INSTEAD of the
+        classifier's selection (caller-specified regions — the batch form of
+        the anatomy-based API; callers wanting detection gating intersect
+        with class_detected themselves). Also the benchmarking hook for a
+        deterministic region count per report.
         """
         if max_length is None:
             max_length = self.cfg.generation.max_length
         det = self.detect(params, images)
-        sel = det["selected_regions"]
+        sel = (det["selected_regions"] if selection_override is None
+               else jnp.asarray(selection_override))
         num_selected = int(jnp.sum(sel))  # one scalar readback
         b = images.shape[0]
         r_budget = self.budget_for(num_selected, b)

@@ -421,25 +421,36 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     return logits, cache
 
 
+def cache_to_beam_layout(cache: Dict[str, jnp.ndarray], b: int,
+                         k_beams: int) -> Dict[str, jnp.ndarray]:
+    """[L, B*K, H, T, *] -> [L, B, H, K, T, *] (one-time, outside the decode
+    loop). In this layout the cross-beam attention read is a contiguous
+    reshape ([B, H, K*T, D]) with NO per-step transpose of the cache."""
+    def t(c):
+        l, _, h, tt = c.shape[:4]
+        return c.reshape((l, b, k_beams, h, tt) + c.shape[4:]).swapaxes(2, 3)
+    return {name: t(c) for name, c in cache.items()}
+
+
 def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                      cache: Dict[str, jnp.ndarray], ancestry: jnp.ndarray,
                      cfg: DecoderConfig, precision=None,
                      no_image: bool = False):
-    """One beam-search generation step with ancestry-indexed attention.
+    """One beam-search generation step with ancestry-masked attention.
 
-    token: [B*K]; ancestry: [B, K, T] int32 — for each (item, live beam,
-    cache slot) the ROW (beam lane within the item) whose K/V holds that
-    slot's token. The cache is NEVER reordered: rows only receive
-    dynamic_update_slice writes, so XLA keeps the while_loop carry aliased
-    in place (the greedy path's property). Beam reordering — HF's
-    _reorder_cache, reference language_model.py:529-607 via GenerationMixin —
-    becomes a gather of the tiny ancestry table instead of the full cache;
-    attention then scores the query against ALL K rows of its item and
-    combines them with a one-hot of the ancestry (K x the score flops, cheap
-    on the MXU; vs ~7 ms/step of HBM gather copies at 256 rows on v5e).
+    token: [B*K] (b-major rows); cache in beam layout [L, B, H, K, T, D]
+    (cache_to_beam_layout); ancestry: [B, K, T] int32 — for each (item, live
+    beam, cache slot) the LANE whose K/V holds that slot's token.
 
-    Numerics match the gathered path: the one-hot contraction picks the
-    identical products, summing zeros elsewhere.
+    The cache is NEVER reordered: lanes only receive dynamic_update_slice
+    writes, so XLA keeps the while_loop carry aliased in place (the greedy
+    path's property). Beam reordering — HF's _reorder_cache, reference
+    language_model.py:529-607 via GenerationMixin — becomes a gather of the
+    tiny ancestry table instead of the full cache (~7 ms/step of HBM copies
+    at 256 rows on v5e). Each query attends over ALL K*T lane-slots of its
+    item in one [b,h]-batched matmul against the natural cache layout, with
+    off-ancestry slots masked by the additive bias — softmax over exactly
+    the T ancestry slots, numerically identical to the gathered path.
 
     Returns (logits [B*K, vocab], updated cache).
     """
@@ -449,16 +460,27 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     x = params["wte"]["embedding"][token[:, None]] + _positions_embed(params, pos, cfg)
 
     slot = step + 2
-    visible = jnp.arange(t_total)[None, None, None, :] <= slot     # [1,1,1,T]
+    # ancestry visibility: slot t of lane j is readable by beam k iff the
+    # beam's ancestry maps t -> j and t is within the written prefix
+    t_idx = jnp.arange(t_total)
+    visible = t_idx[None, None, None, :] <= slot                   # [1,1,1,T]
     if no_image:
-        visible = visible & (jnp.arange(t_total)[None, None, None, :] != 0)
-    bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)     # [1,1,1,T]
-    # ancestry one-hot selector [B,K,J,T] in the compute dtype
-    onehot = (ancestry[:, :, None, :]
-              == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
+        visible = visible & (t_idx[None, None, None, :] != 0)
+    allowed = (ancestry[:, :, None, :]
+               == jnp.arange(k_beams)[None, None, :, None]) & visible  # [B,K,J,T]
+    bias = jnp.where(allowed.reshape(b, k_beams, 1, k_beams * t_total),
+                     0.0, MASK_VALUE).astype(x.dtype)              # [B,K,1,U]
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, x.dtype))
 
     quantized = cache["k"].dtype == jnp.int8
+
+    def write(name, val):
+        # val [BK, H, 1, D'] -> [1, B, H, K, 1, D'] block at (i,0,0,0,slot,0)
+        blk = val[:, :, 0].reshape(b, k_beams, cfg.num_heads, -1)
+        blk = blk.swapaxes(1, 2)[None, :, :, :, None]
+        return jax.lax.dynamic_update_slice(
+            cache[name], blk.astype(cache[name].dtype), (i, 0, 0, 0, slot, 0))
+
     for i in range(cfg.num_layers):
         bp = params[f"h_{i}"]
         x_norm = _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps)
@@ -468,40 +490,33 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         kh = _split_heads(k_w, cfg.num_heads, cfg.head_dim)
         vh = _split_heads(v_w, cfg.num_heads, cfg.head_dim)
 
+        cache = dict(cache)
         if quantized:
             qk, sk = _quantize_kv(kh)
             qv, sv = _quantize_kv(vh)
-            cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], qk[None], (i, 0, 0, slot, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], qv[None], (i, 0, 0, slot, 0))
-            cache["k_scale"] = jax.lax.dynamic_update_slice(
-                cache["k_scale"], sk[None], (i, 0, 0, slot, 0))
-            cache["v_scale"] = jax.lax.dynamic_update_slice(
-                cache["v_scale"], sv[None], (i, 0, 0, slot, 0))
+            cache["k"] = write("k", qk)
+            cache["v"] = write("v", qv)
+            cache["k_scale"] = write("k_scale", sk)
+            cache["v_scale"] = write("v_scale", sv)
         else:
-            ck = jax.lax.dynamic_update_slice(
-                cache["k"], kh.astype(cache["k"].dtype)[None], (i, 0, 0, slot, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cache["v"], vh.astype(cache["v"].dtype)[None], (i, 0, 0, slot, 0))
-            cache = {"k": ck, "v": cv}
+            cache["k"] = write("k", kh)
+            cache["v"] = write("v", vh)
 
+        # [B, H, K, T, D] -> contiguous [B, H, K*T, D]: no transpose
         k_all = _cache_read(cache, "k", i, x.dtype).reshape(
-            b, k_beams, cfg.num_heads, t_total, cfg.head_dim)      # [B,J,H,T,D]
+            b, cfg.num_heads, k_beams * t_total, cfg.head_dim)
         v_all = _cache_read(cache, "v", i, x.dtype).reshape(
-            b, k_beams, cfg.num_heads, t_total, cfg.head_dim)
-        q4 = qh[:, :, 0, :].reshape(b, k_beams, cfg.num_heads, cfg.head_dim)
+            b, cfg.num_heads, k_beams * t_total, cfg.head_dim)
+        q4 = qh[:, :, 0, :].reshape(b, k_beams, cfg.num_heads,
+                                    cfg.head_dim).swapaxes(1, 2)   # [B,H,K,D]
 
-        s_all = jnp.einsum("bkhd,bjhtd->bkhjt", q4, k_all,
-                           precision=precision) * scale            # [B,K,H,J,T]
-        sel = onehot[:, :, None, :, :]                             # [B,K,1,J,T]
-        w = jnp.sum(s_all * sel, axis=3) + bias                    # [B,K,H,T]
+        w = jnp.einsum("bhkd,bhud->bhku", q4, k_all,
+                       precision=precision) * scale                # [B,H,K,U]
+        w = w + bias.swapaxes(1, 2)                                # [B,1->H,K,U]
         w = jax.nn.softmax(w, axis=-1).astype(v_all.dtype)
-        wsel = w[:, :, :, None, :] * sel                           # [B,K,H,J,T]
-        ctx = jnp.einsum("bkhjt,bjhtd->bkhd", wsel, v_all,
-                         precision=precision)
-        a = ctx.reshape(bk, cfg.num_heads, 1, cfg.head_dim)
+        ctx = jnp.einsum("bhku,bhud->bhkd", w, v_all,
+                         precision=precision)                      # [B,H,K,D]
+        a = ctx.swapaxes(1, 2).reshape(bk, cfg.num_heads, 1, cfg.head_dim)
 
         x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)

@@ -15,7 +15,7 @@ the transfer/sync cost lands in stage T's np.asarray, off the critical path.
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Iterator, List, Sequence, Union
+from typing import Iterator, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -50,9 +50,13 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                batch_size: int = 16,
                                num_beams: int = 1,
                                max_length: int = 300,
-                               early_stopping: bool = True
+                               early_stopping: bool = True,
+                               selection_override: Optional[np.ndarray] = None
                                ) -> Iterator[List[GeneratedReport]]:
-    """Yields one list of GeneratedReport per batch, in order."""
+    """Yields one list of GeneratedReport per batch, in order.
+
+    selection_override: optional [len(images), 29] bool mask decoded instead
+    of the classifier's selection (see RGRG.generate)."""
     batches = [images[i:i + batch_size]
                for i in range(0, len(images), batch_size)]
     if not batches:
@@ -70,16 +74,22 @@ def generate_reports_pipelined(gen: ReportGenerator,
 
             device_batch = pre_futures[i].result()
             det = gen.model.detect(gen.params, device_batch)
-            num_selected = int(np.asarray(det["selected_regions"]).sum())
+            if selection_override is None:
+                sel = det["selected_regions"]
+            else:
+                import jax.numpy as jnp
+                sel = jnp.asarray(
+                    selection_override[i * batch_size:i * batch_size + len(batch)])
+            num_selected = int(np.asarray(sel).sum())
             r_budget = gen.model.budget_for(num_selected, len(batch))
             ids, decoded = gen.model.decode_selected(
-                gen.params, det["region_features"], det["selected_regions"],
+                gen.params, det["region_features"], sel,
                 r_budget, max_length, num_beams=num_beams,
                 early_stopping=early_stopping)
             out = {
                 "output_ids": ids,
                 "decoded_mask": np.asarray(decoded),
-                "selected_regions": np.asarray(det["selected_regions"]),
+                "selected_regions": np.asarray(sel),
                 "class_detected": np.asarray(det["class_detected"]),
                 "detections": {"top_region_boxes":
                                np.asarray(det["top_region_boxes"])},

@@ -127,7 +127,17 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
                 writer.write_scalars(step, {f"train/{k}": float(v)
                                             for k, v in losses.items()})
             if val_fn is not None and step % evaluate_every == 0:
-                val_loss = float(val_fn(state))
+                # val_fn may return a scalar or a per-module loss dict
+                # (the reference's val_losses_dict, evaluate_model.py:298);
+                # "total" drives the plateau scheduler + best checkpoint
+                val_out = val_fn(state)
+                if isinstance(val_out, dict):
+                    val_loss = float(val_out.get("total", 0.0))
+                    writer.write_scalars(step, {f"val/{k}": float(v)
+                                                for k, v in val_out.items()
+                                                if k != "total"})
+                else:
+                    val_loss = float(val_out)
                 prev_scale = plateau.scale
                 scale = plateau.update(val_loss)
                 if scale != prev_scale:

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--bert-vocab", default=None)
     ap.add_argument("--cider-df", default=None,
                     help="gzip doc-frequency cache from scripts/compute_cider_df.py")
+    ap.add_argument("--artifacts-dir", default=None,
+                    help="where sentence/report txt dumps + figures go "
+                         "(default: alongside --output)")
+    ap.add_argument("--num-figure-images", type=int, default=2,
+                    help="bbox figures for the first N images (0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -63,19 +68,31 @@ def main():
         from rgrg_tpu.data.stats import load_cider_doc_frequencies
         cider_df, cider_log_n = load_cider_doc_frequencies(args.cider_df)
 
+    import os
+
+    from rgrg_tpu.eval.artifacts import write_final_scores
+
+    out_dir = args.artifacts_dir or os.path.dirname(os.path.abspath(args.output))
     all_scores = {}
     for csv_path in args.test_csv:
         ds = RGRGDataset(read_split_csv(csv_path), tok, train=False)
+        tag = os.path.splitext(os.path.basename(csv_path))[0]
         scores = evaluate_model(model, params, ds.batches(args.batch_size),
                                 tok, num_beams=args.num_beams,
                                 max_length=args.max_length,
                                 max_language_batches=args.max_language_batches,
-                                chexbert=chexbert)
+                                chexbert=chexbert,
+                                artifacts_dir=os.path.join(out_dir, tag),
+                                num_figure_images=args.num_figure_images,
+                                cider_df=cider_df, cider_log_n=cider_log_n)
         all_scores[csv_path] = scores
+        # reference final_scores.txt format (test_set_evaluation.py:77-177)
+        write_final_scores(scores,
+                           os.path.join(out_dir, f"final_scores_{tag}.txt"))
 
     with open(args.output, "w") as f:
         f.write(json.dumps(all_scores, indent=2, default=float))
-    print(f"wrote {args.output}")
+    print(f"wrote {args.output} + artifacts under {out_dir}")
 
 
 if __name__ == "__main__":

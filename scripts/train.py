@@ -72,20 +72,16 @@ def main():
         val_df = read_split_csv(args.val_csv)
         val_ds = RGRGDataset(val_df, tok, train=False, seq_len=args.seq_len)
 
-        from rgrg_tpu.train.trainer import compute_losses
+        from rgrg_tpu.eval.evaluator import validation_losses
 
         def val_fn(state):
-            losses = []
-            for i, batch in enumerate(val_ds.batches(batch_size)):
-                batch = {k: v for k, v in batch.items()
-                         if isinstance(v, np.ndarray)}
-                total, _, _ = compute_losses(
-                    model, state.params, batch, jax.random.PRNGKey(0),
-                    args.stage, cfg.train, args.lm_budget)
-                losses.append(float(total))
-                if i >= 20:
-                    break
-            return float(np.mean(losses)) if losses else 0.0
+            # per-module val losses (reference val_losses_dict,
+            # evaluate_model.py:285-527); the loop logs each as val/<module>
+            # and drives the plateau scheduler with "total"
+            return validation_losses(model, state.params,
+                                     val_ds.batches(batch_size), args.stage,
+                                     cfg.train, args.lm_budget,
+                                     max_batches=20)
 
     train(model, cfg, train_batches, args.run_dir, stage=args.stage,
           num_epochs=args.epochs, val_fn=val_fn, lm_budget=args.lm_budget,

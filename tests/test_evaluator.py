@@ -94,16 +94,84 @@ def tiny_setup():
     return model, params, batches
 
 
-def test_evaluate_model_full(tiny_setup):
+def test_evaluate_model_full(tiny_setup, tmp_path):
     model, params, batches = tiny_setup
+    art = str(tmp_path / "artifacts")
     out = evaluate_model(model, params, batches, GPT2Tokenizer.dummy(),
-                         max_length=6)
+                         max_length=6, artifacts_dir=art, step=7,
+                         num_figure_images=1)
     assert "object_detector" in out
     assert 0 <= out["object_detector"]["avg_detections_per_image"] <= 29
-    assert set(out["region_selection"]) == {"precision", "recall", "f1"}
+    # all/normal/abnormal selection subsets (evaluate_model.py:332-357)
+    assert set(out["region_selection"]) == {"all", "normal", "abnormal"}
+    for subset in out["region_selection"].values():
+        assert set(subset) == {"precision", "recall", "f1"}
     # language outputs present (selection may vary with random weights)
     if "report" in out:
         assert "bleu_1" in out["report"]
+
+    # txt/figure artifacts (evaluate_language_model.py:511-578)
+    import os
+    figs = os.listdir(os.path.join(art, "figures"))
+    assert any(f.startswith("step7_img0_") for f in figs)
+    sent_file = os.path.join(art, "generated_sentences",
+                             "generated_sentences_step_7.txt")
+    if os.path.exists(sent_file):  # written only when sentences were scored
+        body = open(sent_file).read()
+        assert "Generated sentence:" in body and "Reference sentence:" in body
+    rep_file = os.path.join(art, "generated_reports",
+                            "generated_reports_step_7.txt")
+    if os.path.exists(rep_file):
+        body = open(rep_file).read()
+        assert "Generated report:" in body
+        assert "Generated sentences with their regions:" in body
+        assert "Generated sentences that were removed:" in body
+
+
+def test_validation_losses_per_module(tiny_setup):
+    from rgrg_tpu.core.config import TrainConfig
+    from rgrg_tpu.eval.evaluator import validation_losses
+    model, params, batches = tiny_setup
+    # SMOKE_CFG params lack train-time extras? use stage-2 losses on the
+    # same tiny model (compute_losses runs detector+selection+abnormal+LM)
+    out = validation_losses(model, params, iter(batches), stage=2,
+                            tcfg=TrainConfig(grad_accumulation_steps=1),
+                            lm_budget=8, max_batches=1)
+    assert "total" in out and len(out) > 1
+    for v in out.values():
+        assert np.isfinite(v)
+
+
+def test_write_final_scores_format(tmp_path):
+    from rgrg_tpu.eval.artifacts import write_final_scores
+    scores = {
+        "object_detector": {
+            "avg_detections_per_image": 28.5, "avg_iou": 0.8,
+            "per_region_iou": {"right lung": 0.9},
+            "per_region_detection_freq": {"right lung": 1.0}},
+        "region_selection": {"all": {"precision": 1.0, "recall": 0.5, "f1": 0.6},
+                             "normal": {"precision": 0.9, "recall": 0.4, "f1": 0.5},
+                             "abnormal": {"precision": 0.8, "recall": 0.3, "f1": 0.4}},
+        "region_abnormal": {"precision": 0.7, "recall": 0.2, "f1": 0.3},
+        "report": {"bleu_1": 0.4, "CE": {"precision_micro_5": 0.5,
+                                         "Cardiomegaly": {"precision": 0.6}}},
+        "sentence": {"meteor": 0.2, "per_region_meteor": {"right lung": 0.25}},
+    }
+    p = str(tmp_path / "final_scores.txt")
+    write_final_scores(scores, p)
+    body = open(p).read()
+    # reference key spellings (test_set_evaluation.py:77-177)
+    assert "avg_num_detected_regions_per_image: 28.50000" in body
+    assert "num_detected_right_lung: 1.00000" in body
+    assert "iou_right_lung: 0.90000" in body
+    assert "region_select_all_precision: 1.00000" in body
+    assert "region_select_abnormal_f1: 0.40000" in body
+    assert "region_abnormal_recall: 0.20000" in body
+    assert "report_CE_precision_micro_5: 0.50000" in body
+    assert "report_CE_cardiomegaly_precision: 0.60000" in body
+    assert "report_bleu_1: 0.40000" in body
+    assert "sentence_meteor: 0.20000" in body
+    assert "sentence_meteor_right_lung: 0.25000" in body
 
 
 def test_bbox_variations(tiny_setup):

@@ -76,7 +76,10 @@ def test_train_loop_end_to_end(tmp_path):
 
     def val_fn(state):
         calls["val"] += 1
-        return 1.0
+        # dict form: per-module val losses (reference val_losses_dict);
+        # the loop must log each module and drive plateau from "total"
+        return {"total": 1.0, "obj_detector_loss": 0.6,
+                "language_model_loss": 0.4}
 
     run_dir = str(tmp_path / "run")
     state = train(model, cfg, lambda: iter(batches), run_dir, stage=2,
