@@ -115,11 +115,6 @@ class DetectorConfig:
     # runs its MXU dots at default precision — keep False for f32 parity.
     use_pallas_nms: bool = False
     use_pallas_roi_align: bool = False
-    # fused RoIAlign+avgpool+fc6 Pallas kernel (ops/roi_fc6_pallas.py):
-    # keeps the pooled [K, 8, 8, 2048] features in VMEM instead of
-    # round-tripping ~12 GB/batch through HBM (measured 16% faster than the
-    # XLA path). Inference only — the kernel has no VJP.
-    use_fused_roi_fc6: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +204,10 @@ class TrainConfig:
     lr_patience: int = 5
     lr_factor: float = 0.5
     bf16: bool = True
+    # language-generation eval is gated until the model has trained long
+    # enough to produce non-degenerate sentences (reference
+    # evaluate_model.py:549-554 gates at >100k steps)
+    lm_eval_min_steps: int = 100_000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,37 +125,21 @@ class RegionDetector(nn.Module):
                 proposals, jax.lax.stop_gradient(objectness))
         return boxes, keep, (objectness, deltas, anchors)
 
-    def roi_forward(self, feats: jnp.ndarray, boxes: jnp.ndarray,
-                    fused: bool = False):
+    def roi_forward(self, feats: jnp.ndarray, boxes: jnp.ndarray):
         """RoIAlign + box head for a batch of padded proposal boxes.
 
         feats: [B, 16, 16, 2048]; boxes: [B, K, 4].
         Returns (class_logits [B,K,30], box_regression [B,K,120],
                  box_features [B,K,2048] spatially averaged).
 
-        fused=True (inference only, cfg.use_fused_roi_fc6): the Pallas
-        RoIAlign+avgpool+fc6 kernel keeps pooled features in VMEM.
-        Otherwise proposals run in chunks so the pooled [*, 8, 8, 2048]
-        maps (the detector's largest intermediate: ~0.26 MB/proposal f32)
-        never materialize for all B*K proposals at once.
+        Proposals run in chunks so the pooled [*, 8, 8, 2048] maps (the
+        detector's largest intermediate: ~0.26 MB/proposal f32) never
+        materialize for all B*K proposals at once. (A fused
+        RoIAlign+avgpool+fc6 Pallas kernel — 16% faster standalone — was
+        removed after it kept faulting at runtime inside the full graph on
+        v5e; see git history at ops/roi_fc6_pallas.py for the kernel and
+        the isolation notes.)
         """
-        if fused and self.cfg.use_fused_roi_fc6 and not self.is_initializing():
-            from rgrg_tpu.ops.roi_fc6_pallas import roi_align_fc6
-            dtype = jnp.dtype(self.cfg.dtype)
-            bh = self.box_head.variables["params"]
-            fc6_pre, box_features = roi_align_fc6(
-                feats, boxes, bh["fc6"]["kernel"],
-                output_size=self.cfg.roi.output_size,
-                spatial_scale=1.0 / C.BACKBONE_STRIDE,
-                sampling_ratio=self.cfg.roi.sampling_ratio)
-            x = jax.nn.relu(fc6_pre + bh["fc6"]["bias"]).astype(dtype)
-            x = jax.nn.relu(
-                jnp.dot(x, bh["fc7"]["kernel"].astype(dtype))
-                + bh["fc7"]["bias"].astype(dtype))
-            class_logits, box_regression = self.box_predictor(x)
-            return (class_logits.astype(jnp.float32),
-                    box_regression.astype(jnp.float32),
-                    box_features)
         b, k, _ = boxes.shape
         chunk = min(self.cfg.roi.proposal_chunk, k)
         if self.cfg.use_pallas_roi_align:
@@ -275,7 +259,7 @@ class RegionDetector(nn.Module):
             boxes, keep = jax.vmap(compact)(boxes, keep)
 
         class_logits, box_regression, box_features = self.roi_forward(
-            feats, boxes, fused=True)
+            feats, boxes)
 
         sel = jax.vmap(top1_per_class)(class_logits, keep)
         class_detected = sel["class_detected"]                       # [B, 29]

@@ -72,16 +72,30 @@ def main():
         val_df = read_split_csv(args.val_csv)
         val_ds = RGRGDataset(val_df, tok, train=False, seq_len=args.seq_len)
 
-        from rgrg_tpu.eval.evaluator import validation_losses
+        from rgrg_tpu.eval.evaluator import evaluate_model, validation_losses
 
         def val_fn(state):
             # per-module val losses (reference val_losses_dict,
             # evaluate_model.py:285-527); the loop logs each as val/<module>
             # and drives the plateau scheduler with "total"
-            return validation_losses(model, state.params,
-                                     val_ds.batches(batch_size), args.stage,
-                                     cfg.train, args.lm_budget,
-                                     max_batches=20)
+            out = validation_losses(model, state.params,
+                                    val_ds.batches(batch_size), args.stage,
+                                    cfg.train, args.lm_budget,
+                                    max_batches=20)
+            # language-generation metrics gate: only once the model produces
+            # non-degenerate sentences (evaluate_model.py:549-554, >100k)
+            if (tok is not None and args.stage >= 2
+                    and int(state.step) >= cfg.train.lm_eval_min_steps):
+                lm = evaluate_model(model, state.params,
+                                    val_ds.batches(batch_size), tok,
+                                    max_language_batches=5, max_length=128)
+                for k, v in lm.get("sentence", {}).items():
+                    if isinstance(v, (int, float)):
+                        out[f"lm_{k}"] = float(v)
+                for k, v in lm.get("report", {}).items():
+                    if isinstance(v, (int, float)):
+                        out[f"lm_report_{k}"] = float(v)
+            return out
 
     train(model, cfg, train_batches, args.run_dir, stage=args.stage,
           num_epochs=args.epochs, val_fn=val_fn, lm_budget=args.lm_budget,

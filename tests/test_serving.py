@@ -45,3 +45,33 @@ def test_pipelined_empty():
     params = model.init(jax.random.PRNGKey(0))
     gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
     assert list(generate_reports_pipelined(gen, [], batch_size=2)) == []
+
+
+def test_pipelined_selection_override(setup):
+    gen, paths = setup
+    override = np.zeros((5, 29), bool)
+    override[:, [0, 3, 7]] = True
+    piped = [r for chunk in generate_reports_pipelined(
+        gen, paths, batch_size=2, num_beams=1, max_length=6,
+        selection_override=override) for r in chunk]
+    assert len(piped) == 5
+    for r in piped:
+        np.testing.assert_array_equal(r.selected_regions, override[0])
+        # every overridden region decodes (budget >= 3 selected rows)
+        assert set(r.region_sentences) == {
+            name for name, i in
+            __import__("rgrg_tpu.core.constants",
+                       fromlist=["ANATOMICAL_REGIONS"]).ANATOMICAL_REGIONS.items()
+            if i in (0, 3, 7)}
+
+
+def test_generate_selection_override(setup):
+    gen, _ = setup
+    import jax.numpy as jnp
+    images = jax.random.normal(jax.random.PRNGKey(3), (2, 512, 512, 1)) * 0.3
+    override = np.zeros((2, 29), bool)
+    override[:, :4] = True
+    out = gen.model.generate(gen.params, images, max_length=6,
+                             selection_override=jnp.asarray(override))
+    np.testing.assert_array_equal(out["selected_regions"], override)
+    assert out["decoded_mask"][:, :4].all()
