@@ -84,7 +84,22 @@ def train_transform(image: np.ndarray, boxes: np.ndarray,
     stack (ColorJitter brightness/contrast/saturation ±0.2 hue 0,
     GaussNoise var 10-50, Affine ±2% translate / ±2° rotate, zero fill).
     Random draws use the supplied numpy Generator, seeded per worker like
-    the reference's seeded DataLoader workers."""
+    the reference's seeded DataLoader workers.
+
+    Known divergences from albumentations (not installable offline, so no
+    numeric oracle exists — property contracts are pinned in
+    tests/test_data.py::TestTrainAugmentationProperties):
+      * ColorJitter applies brightness->contrast in fixed order; torchvision
+        (and albumentations) permute the op order per call,
+      * contrast pivots on the per-image mean (torchvision pivots on the
+        mean of the grayscale image — identical here since input IS gray),
+      * GaussNoise clips to uint8 after adding noise in f32 (albumentations
+        adds in f32 then clips identically; per_channel irrelevant on 1ch),
+      * Affine composes rotation and translation in one matrix like
+        albumentations' single warp; box corners are transformed exactly.
+    Augmentation DISTRIBUTIONS match the declared parameter ranges; only
+    intra-op ordering differs, which perturbs individual samples, not the
+    augmentation envelope."""
     image, boxes = longest_max_size(image, cfg.image_size, boxes)
 
     # ColorJitter (hue=0 on grayscale -> brightness/contrast only)

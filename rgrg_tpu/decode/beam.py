@@ -141,14 +141,10 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
         anc = jnp.take_along_axis(anc, new_beam[:, :, None], axis=1)
         return anc.at[:, :, next_slot].set(jnp.arange(k)[None, :])
 
-    # one-time relayout to [L, B, H, K, T, D]: inside the loop the
-    # cross-beam read is then a contiguous reshape (no per-step transpose)
-    t_total = cache["k"].shape[3]
-    cache = gpt2.cache_to_beam_layout(cache, b, k)
-
     # first token from prefill logits (cur_len = 1: just BOS). All K lanes
     # of an item share identical prefill KV (feats repeated), so identity
     # ancestry is correct for slots 0..1 regardless of the first reorder.
+    t_total = cache["k"].shape[3]
     anc = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None],
                            (b, k, t_total))
     state = (out, beam_scores, f_scores, f_seqs, f_lens, done)

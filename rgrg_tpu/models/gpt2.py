@@ -421,65 +421,64 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     return logits, cache
 
 
-def cache_to_beam_layout(cache: Dict[str, jnp.ndarray], b: int,
-                         k_beams: int) -> Dict[str, jnp.ndarray]:
-    """[L, B*K, H, T, *] -> [L, B, H, K, T, *] (one-time, outside the decode
-    loop). In this layout the cross-beam attention read is a contiguous
-    reshape ([B, H, K*T, D]) with NO per-step transpose of the cache."""
-    def t(c):
-        l, _, h, tt = c.shape[:4]
-        return c.reshape((l, b, k_beams, h, tt) + c.shape[4:]).swapaxes(2, 3)
-    return {name: t(c) for name, c in cache.items()}
-
-
 def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                      cache: Dict[str, jnp.ndarray], ancestry: jnp.ndarray,
                      cfg: DecoderConfig, precision=None,
-                     no_image: bool = False):
+                     no_image: bool = False,
+                     use_pallas: Optional[bool] = None):
     """One beam-search generation step with ancestry-masked attention.
 
-    token: [B*K] (b-major rows); cache in beam layout [L, B, H, K, T, D]
-    (cache_to_beam_layout); ancestry: [B, K, T] int32 — for each (item, live
-    beam, cache slot) the LANE whose K/V holds that slot's token.
+    token: [B*K] (b-major rows); cache in the greedy layout [L, B*K, H, T, D];
+    ancestry: [B, K, T] int32 — for each (item, live beam, cache slot) the
+    LANE whose K/V holds that slot's token.
 
     The cache is NEVER reordered: lanes only receive dynamic_update_slice
     writes, so XLA keeps the while_loop carry aliased in place (the greedy
     path's property). Beam reordering — HF's _reorder_cache, reference
     language_model.py:529-607 via GenerationMixin — becomes a gather of the
     tiny ancestry table instead of the full cache (~7 ms/step of HBM copies
-    at 256 rows on v5e). Each query attends over ALL K*T lane-slots of its
-    item in one [b,h]-batched matmul against the natural cache layout, with
-    off-ancestry slots masked by the additive bias — softmax over exactly
-    the T ancestry slots, numerically identical to the gathered path.
+    at 192 rows on v5e). The cross-lane masked attention runs in the fused
+    Pallas kernel (ops/beam_attention_pallas.py: one VMEM pass over the
+    cache per step, like greedy) on TPU; elsewhere an XLA one-hot
+    formulation computes the same values (softmax over exactly the T
+    ancestry slots either way).
 
     Returns (logits [B*K, vocab], updated cache).
     """
+    if use_pallas is None:
+        # the fused kernel currently LOSES to the one-hot XLA formulation
+        # in-graph (5.7 vs 17.5 reports/s at B=8 on v5e; per-call overhead
+        # under investigation) — opt in via RGRG_BEAM_PALLAS=1 while the
+        # kernel is being tuned
+        import os
+        use_pallas = (os.environ.get("RGRG_BEAM_PALLAS") == "1"
+                      and jax.default_backend() == "tpu")
+    from rgrg_tpu.ops.beam_attention_pallas import ancestry_bias, beam_attention
+
     bk = token.shape[0]
     b, k_beams, t_total = ancestry.shape
     pos = (step + 1) * jnp.ones((bk, 1), jnp.int32)
     x = params["wte"]["embedding"][token[:, None]] + _positions_embed(params, pos, cfg)
 
     slot = step + 2
-    # ancestry visibility: slot t of lane j is readable by beam k iff the
-    # beam's ancestry maps t -> j and t is within the written prefix
-    t_idx = jnp.arange(t_total)
-    visible = t_idx[None, None, None, :] <= slot                   # [1,1,1,T]
-    if no_image:
-        visible = visible & (t_idx[None, None, None, :] != 0)
-    allowed = (ancestry[:, :, None, :]
-               == jnp.arange(k_beams)[None, None, :, None]) & visible  # [B,K,J,T]
-    bias = jnp.where(allowed.reshape(b, k_beams, 1, k_beams * t_total),
-                     0.0, MASK_VALUE).astype(x.dtype)              # [B,K,1,U]
+    quantized = cache["k"].dtype == jnp.int8
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, x.dtype))
 
-    quantized = cache["k"].dtype == jnp.int8
-
-    def write(name, val):
-        # val [BK, H, 1, D'] -> [1, B, H, K, 1, D'] block at (i,0,0,0,slot,0)
-        blk = val[:, :, 0].reshape(b, k_beams, cfg.num_heads, -1)
-        blk = blk.swapaxes(1, 2)[None, :, :, :, None]
-        return jax.lax.dynamic_update_slice(
-            cache[name], blk.astype(cache[name].dtype), (i, 0, 0, 0, slot, 0))
+    if use_pallas:
+        # item tile: largest power of two <= 8 dividing B (decode budgets
+        # are {2^k, 3*2^k}, so 8 or 4 in practice)
+        tb = 8
+        while b % tb:
+            tb //= 2
+        bias = ancestry_bias(ancestry, slot, no_image, item_tile=tb)
+    else:
+        t_idx = jnp.arange(t_total)
+        visible = t_idx[None, None, None, :] <= slot               # [1,1,1,T]
+        if no_image:
+            visible = visible & (t_idx[None, None, None, :] != 0)
+        vis_bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
+        onehot = (ancestry[:, :, None, :]
+                  == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
 
     for i in range(cfg.num_layers):
         bp = params[f"h_{i}"]
@@ -494,29 +493,40 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         if quantized:
             qk, sk = _quantize_kv(kh)
             qv, sv = _quantize_kv(vh)
-            cache["k"] = write("k", qk)
-            cache["v"] = write("v", qv)
-            cache["k_scale"] = write("k_scale", sk)
-            cache["v_scale"] = write("v_scale", sv)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], qk[None], (i, 0, 0, slot, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], qv[None], (i, 0, 0, slot, 0))
+            cache["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], sk[None], (i, 0, 0, slot, 0))
+            cache["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], sv[None], (i, 0, 0, slot, 0))
         else:
-            cache["k"] = write("k", kh)
-            cache["v"] = write("v", vh)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], kh.astype(cache["k"].dtype)[None], (i, 0, 0, slot, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], vh.astype(cache["v"].dtype)[None], (i, 0, 0, slot, 0))
 
-        # [B, H, K, T, D] -> contiguous [B, H, K*T, D]: no transpose
-        k_all = _cache_read(cache, "k", i, x.dtype).reshape(
-            b, cfg.num_heads, k_beams * t_total, cfg.head_dim)
-        v_all = _cache_read(cache, "v", i, x.dtype).reshape(
-            b, cfg.num_heads, k_beams * t_total, cfg.head_dim)
-        q4 = qh[:, :, 0, :].reshape(b, k_beams, cfg.num_heads,
-                                    cfg.head_dim).swapaxes(1, 2)   # [B,H,K,D]
-
-        w = jnp.einsum("bhkd,bhud->bhku", q4, k_all,
-                       precision=precision) * scale                # [B,H,K,U]
-        w = w + bias.swapaxes(1, 2)                                # [B,1->H,K,U]
-        w = jax.nn.softmax(w, axis=-1).astype(v_all.dtype)
-        ctx = jnp.einsum("bhku,bhud->bhkd", w, v_all,
-                         precision=precision)                      # [B,H,K,D]
-        a = ctx.swapaxes(1, 2).reshape(bk, cfg.num_heads, 1, cfg.head_dim)
+        if use_pallas:
+            ctx = beam_attention(
+                qh[:, :, 0, :], cache["k"][i], cache["v"][i], bias,
+                cache["k_scale"][i] if quantized else None,
+                cache["v_scale"][i] if quantized else None)        # [BK,H,D] f32
+            a = ctx.astype(x.dtype)[:, :, None, :]
+        else:
+            k_all = _cache_read(cache, "k", i, x.dtype).reshape(
+                b, k_beams, cfg.num_heads, t_total, cfg.head_dim)  # [B,J,H,T,D]
+            v_all = _cache_read(cache, "v", i, x.dtype).reshape(
+                b, k_beams, cfg.num_heads, t_total, cfg.head_dim)
+            q4 = qh[:, :, 0, :].reshape(b, k_beams, cfg.num_heads, cfg.head_dim)
+            s_all = jnp.einsum("bkhd,bjhtd->bkhjt", q4, k_all,
+                               precision=precision) * scale        # [B,K,H,J,T]
+            w = jnp.sum(s_all * onehot[:, :, None], axis=3) + vis_bias
+            w = jax.nn.softmax(w, axis=-1).astype(v_all.dtype)
+            wsel = w[:, :, :, None, :] * onehot[:, :, None]        # [B,K,H,J,T]
+            ctx = jnp.einsum("bkhjt,bjhtd->bkhd", wsel, v_all,
+                             precision=precision)
+            a = ctx.reshape(bk, cfg.num_heads, 1, cfg.head_dim)
 
         x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
