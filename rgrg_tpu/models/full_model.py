@@ -109,7 +109,8 @@ class RGRG:
                                 max_length=max_length, num_beams=num_beams,
                                 length_penalty=self.cfg.generation.length_penalty,
                                 early_stopping=early_stopping,
-                                precision=precision, active=active)
+                                precision=precision, active=active,
+                                cache_dtype=kv_cache_dtype)
         else:
             ids = greedy_generate(params["decoder"], feats, self.cfg.decoder,
                                   max_length=max_length, precision=precision,

@@ -421,6 +421,29 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     return logits, cache
 
 
+def cache_to_beam_layers(cache):
+    """[L, BK, H, T, *] (greedy layout) -> per-layer head-leading buffers
+    {"k_0": [H, BK, T, *], ..., "v_23": ...} (one-time, after prefill).
+
+    Two properties matter on TPU:
+      - heads LEADING: the beam step's cross-lane attention dots batch over
+        (h, b) with both operands batch-leading — no per-step transpose of
+        the cache (against the greedy layout, XLA physically relayouts the
+        whole cache every layer, every step);
+      - per-LAYER buffers: a dot_general operand must be a materialized
+        buffer, so reading layer i of a stacked [L, ...] cache materializes
+        a full layer copy each step (measured ~67 us x 48 slices/step at
+        192 rows on v5e); with per-layer carries the dot reads the
+        dynamic_update_slice output directly, and the DUS is the carry's
+        only consumer so it updates in place.
+    """
+    out = {}
+    for name, c in cache.items():
+        for i in range(c.shape[0]):
+            out[f"{name}_{i}"] = c[i].swapaxes(0, 1)
+    return out
+
+
 def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                      cache: Dict[str, jnp.ndarray], ancestry: jnp.ndarray,
                      cfg: DecoderConfig, precision=None,
@@ -428,20 +451,21 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                      use_pallas: Optional[bool] = None):
     """One beam-search generation step with ancestry-masked attention.
 
-    token: [B*K] (b-major rows); cache in the greedy layout [L, B*K, H, T, D];
-    ancestry: [B, K, T] int32 — for each (item, live beam, cache slot) the
-    LANE whose K/V holds that slot's token.
+    token: [B*K] (b-major rows); cache: per-layer head-leading buffers
+    {"k_i"/"v_i" [H, B*K, T, D], optional "k_scale_i"/"v_scale_i"} from
+    cache_to_beam_layers; ancestry: [B, K, T] int32 — for each (item, live
+    beam, cache slot) the LANE whose K/V holds that slot's token.
 
     The cache is NEVER reordered: lanes only receive dynamic_update_slice
     writes, so XLA keeps the while_loop carry aliased in place (the greedy
     path's property). Beam reordering — HF's _reorder_cache, reference
     language_model.py:529-607 via GenerationMixin — becomes a gather of the
     tiny ancestry table instead of the full cache (~7 ms/step of HBM copies
-    at 192 rows on v5e). The cross-lane masked attention runs in the fused
-    Pallas kernel (ops/beam_attention_pallas.py: one VMEM pass over the
-    cache per step, like greedy) on TPU; elsewhere an XLA one-hot
-    formulation computes the same values (softmax over exactly the T
-    ancestry slots either way).
+    at 192 rows on v5e). Each query attends over all K*T lane-slots of its
+    item via a one-hot ancestry contraction — softmax over exactly the T
+    ancestry slots, numerically identical to the gathered path. A fused
+    Pallas kernel (ops/beam_attention_pallas.py) is available behind
+    RGRG_BEAM_PALLAS=1.
 
     Returns (logits [B*K, vocab], updated cache).
     """
@@ -461,7 +485,7 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     x = params["wte"]["embedding"][token[:, None]] + _positions_embed(params, pos, cfg)
 
     slot = step + 2
-    quantized = cache["k"].dtype == jnp.int8
+    quantized = cache["k_0"].dtype == jnp.int8
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, x.dtype))
 
     if use_pallas:
@@ -479,6 +503,19 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         vis_bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
         onehot = (ancestry[:, :, None, :]
                   == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
+        onehot = onehot[None]                                      # [1,B,K,J,T]
+
+    def hlead(val):
+        # [BK, H, 1, D'] projection -> [H, BK, 1, D'] cache write block
+        return val.swapaxes(0, 1)
+
+    def read(name, i):
+        raw = cache[f"{name}_{i}"]
+        if raw.dtype == jnp.int8:
+            raw = (raw.astype(jnp.float32)
+                   * cache[f"{name}_scale_{i}"]).astype(x.dtype)
+        return raw.astype(x.dtype).reshape(
+            cfg.num_heads, b, k_beams, t_total, -1)                # [H,B,J,T,D']
 
     for i in range(cfg.num_layers):
         bp = params[f"h_{i}"]
@@ -493,40 +530,39 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         if quantized:
             qk, sk = _quantize_kv(kh)
             qv, sv = _quantize_kv(vh)
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], qk[None], (i, 0, 0, slot, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], qv[None], (i, 0, 0, slot, 0))
-            cache["k_scale"] = jax.lax.dynamic_update_slice(
-                cache["k_scale"], sk[None], (i, 0, 0, slot, 0))
-            cache["v_scale"] = jax.lax.dynamic_update_slice(
-                cache["v_scale"], sv[None], (i, 0, 0, slot, 0))
+            writes = (("k", qk), ("v", qv), ("k_scale", sk), ("v_scale", sv))
         else:
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], kh.astype(cache["k"].dtype)[None], (i, 0, 0, slot, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], vh.astype(cache["v"].dtype)[None], (i, 0, 0, slot, 0))
+            writes = (("k", kh.astype(cache[f"k_{i}"].dtype)),
+                      ("v", vh.astype(cache[f"v_{i}"].dtype)))
+        for name, val in writes:
+            cache[f"{name}_{i}"] = jax.lax.dynamic_update_slice(
+                cache[f"{name}_{i}"], hlead(val), (0, 0, slot, 0))
 
         if use_pallas:
             ctx = beam_attention(
-                qh[:, :, 0, :], cache["k"][i], cache["v"][i], bias,
-                cache["k_scale"][i] if quantized else None,
-                cache["v_scale"][i] if quantized else None)        # [BK,H,D] f32
+                qh[:, :, 0, :], cache[f"k_{i}"], cache[f"v_{i}"], bias,
+                cache[f"k_scale_{i}"] if quantized else None,
+                cache[f"v_scale_{i}"] if quantized else None)      # [BK,H,D] f32
             a = ctx.astype(x.dtype)[:, :, None, :]
         else:
-            k_all = _cache_read(cache, "k", i, x.dtype).reshape(
-                b, k_beams, cfg.num_heads, t_total, cfg.head_dim)  # [B,J,H,T,D]
-            v_all = _cache_read(cache, "v", i, x.dtype).reshape(
-                b, k_beams, cfg.num_heads, t_total, cfg.head_dim)
-            q4 = qh[:, :, 0, :].reshape(b, k_beams, cfg.num_heads, cfg.head_dim)
-            s_all = jnp.einsum("bkhd,bjhtd->bkhjt", q4, k_all,
-                               precision=precision) * scale        # [B,K,H,J,T]
-            w = jnp.sum(s_all * onehot[:, :, None], axis=3) + vis_bias
-            w = jax.nn.softmax(w, axis=-1).astype(v_all.dtype)
-            wsel = w[:, :, :, None, :] * onehot[:, :, None]        # [B,K,H,J,T]
-            ctx = jnp.einsum("bkhjt,bjhtd->bkhd", wsel, v_all,
+            k_all = read("k", i)                                   # [H,B,J,T,D]
+            v_all = read("v", i)
+            q5 = qh[:, :, 0, :].swapaxes(0, 1).reshape(
+                cfg.num_heads, b, k_beams, cfg.head_dim)           # [H,B,K,D]
+            # dot_general (MXU) formulation; a broadcast-multiply-reduce
+            # variant (dequant fused into reduce fusions, no materialized
+            # dot operands) measured 2.6x SLOWER on v5e (6.5 vs 17 rps at
+            # B=8) — the VPU reduce over [H,B,K,J,T,D] loses to the MXU
+            # dots even counting the dequantized-operand materialization
+            s_all = jnp.einsum("hbkd,hbjtd->hbkjt", q5, k_all,
+                               precision=precision) * scale        # [H,B,K,J,T]
+            w = jnp.sum(s_all * onehot, axis=3) + vis_bias         # [H,B,K,T]
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+            wsel = w[:, :, :, None, :] * onehot                    # [H,B,K,J,T]
+            ctx = jnp.einsum("hbkjt,hbjtd->hbkd", wsel, v_all,
                              precision=precision)
-            a = ctx.reshape(bk, cfg.num_heads, 1, cfg.head_dim)
+            a = ctx.reshape(cfg.num_heads, bk, cfg.head_dim
+                            ).swapaxes(0, 1)[:, :, None, :]        # [BK,H,1,D]
 
         x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)

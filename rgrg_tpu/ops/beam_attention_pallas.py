@@ -12,7 +12,8 @@ each item-tile's K/V slab into VMEM ONCE and does the entire masked-softmax
 attention in-core: per-step HBM traffic is exactly one pass over the cache,
 like greedy decode.
 
-Layout: cache stays in the greedy layout [B*K, H, T, D] (b-major rows).
+Layout: cache rides the head-leading beam layout [H, B*K, T, D]
+(gpt2.cache_to_beam_layers per-layer buffers; b-major rows within each head).
 Grid: ONE cell per item-tile (few big cells — a fine grid of (tile, head)
 cells measured launch/DMA-latency-bound at 22 ms/step); heads run as a
 static loop inside the cell, slicing the resident K/V block per head. A
@@ -59,16 +60,16 @@ def _attend_head(q, k, v, bias, scale):
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
     # heads as a fori_loop, not a Python unroll: a 16-way unroll produced a
     # Mosaic program big enough to OOM-kill the compile helper
-    h = k_ref.shape[1]
+    h = k_ref.shape[0]
     m, t = bias_ref.shape[1], k_ref.shape[2]
     bias = bias_ref[...].reshape(m, m * t).astype(jnp.float32)
 
     def head(hi, carry):
         q = q_ref[pl.ds(hi, 1)].reshape(
             q_ref.shape[1], q_ref.shape[2]).astype(jnp.float32)
-        k = k_ref[:, pl.ds(hi, 1)].reshape(
+        k = k_ref[pl.ds(hi, 1)].reshape(
             m, t, k_ref.shape[3]).astype(jnp.float32)
-        v = v_ref[:, pl.ds(hi, 1)].reshape(
+        v = v_ref[pl.ds(hi, 1)].reshape(
             m, t, v_ref.shape[3]).astype(jnp.float32)
         ctx = _attend_head(q, k, v, bias, scale).astype(out_ref.dtype)
         out_ref[pl.ds(hi, 1)] = ctx[None]
@@ -79,19 +80,19 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
 
 def _kernel_q(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, out_ref, *,
               scale):
-    h = k_ref.shape[1]
+    h = k_ref.shape[0]
     m, t = bias_ref.shape[1], k_ref.shape[2]
     bias = bias_ref[...].reshape(m, m * t).astype(jnp.float32)
 
     def head(hi, carry):
         q = q_ref[pl.ds(hi, 1)].reshape(
             q_ref.shape[1], q_ref.shape[2]).astype(jnp.float32)
-        k = k_ref[:, pl.ds(hi, 1)].reshape(
+        k = k_ref[pl.ds(hi, 1)].reshape(
             m, t, k_ref.shape[3]).astype(jnp.float32)
-        v = v_ref[:, pl.ds(hi, 1)].reshape(
+        v = v_ref[pl.ds(hi, 1)].reshape(
             m, t, v_ref.shape[3]).astype(jnp.float32)
-        ks = ks_ref[:, pl.ds(hi, 1)].reshape(m, t, 1)
-        vs = vs_ref[:, pl.ds(hi, 1)].reshape(m, t, 1)
+        ks = ks_ref[pl.ds(hi, 1)].reshape(m, t, 1)
+        vs = vs_ref[pl.ds(hi, 1)].reshape(m, t, 1)
         ctx = _attend_head(q, k * ks, v * vs, bias, scale).astype(out_ref.dtype)
         out_ref[pl.ds(hi, 1)] = ctx[None]
         return carry
@@ -129,12 +130,13 @@ def beam_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    bias: jnp.ndarray,
                    k_scale: jnp.ndarray = None, v_scale: jnp.ndarray = None,
                    interpret: bool = False) -> jnp.ndarray:
-    """q [BK, H, D]; k/v [BK, H, T, D] (int8 with scales [BK, H, T, 1], or
-    float); bias from ancestry_bias. Returns ctx [BK, H, D] f32.
+    """q [BK, H, D]; k/v in the head-leading beam layout [H, BK, T, D]
+    (int8 with scales [H, BK, T, 1], or float); bias from ancestry_bias.
+    Returns ctx [BK, H, D] f32.
 
     BK must be a multiple of the bias's tile size (the decode budget ladder
     keeps B a multiple of 4; ancestry_bias picks the tile)."""
-    bk, h, t, d = k.shape
+    h, bk, t, d = k.shape
     g = bias.shape[0]
     m = bk // g
     scale = 1.0 / (d ** 0.5)
@@ -145,8 +147,8 @@ def beam_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (g,)
     q_spec = pl.BlockSpec((h, m, d), lambda i: (0, i, 0))
-    kv_spec = pl.BlockSpec((m, h, t, d), lambda i: (i, 0, 0, 0))
-    sc_spec = pl.BlockSpec((m, h, t, 1), lambda i: (i, 0, 0, 0))
+    kv_spec = pl.BlockSpec((h, m, t, d), lambda i: (0, i, 0, 0))
+    sc_spec = pl.BlockSpec((h, m, t, 1), lambda i: (0, i, 0, 0))
     bias_spec = pl.BlockSpec((1, m, m * t), lambda i: (i, 0, 0))
     out_spec = pl.BlockSpec((h, m, d), lambda i: (0, i, 0))
     out_shape = jax.ShapeDtypeStruct((h, bk, d), jnp.float32)

@@ -38,6 +38,9 @@ def oracle(q, k, v, anc, slot, no_image=False):
 
 
 def make_inputs(b, kb, h, t, d, seed=0, quantized=False):
+    """Cache tensors are returned in the kernel's head-leading layout
+    [H, BK, T, D] (gpt2.cache_to_beam_layers per-layer buffers); the oracle's kf/vf stay row-major
+    [BK, H, T, D]."""
     rng = np.random.default_rng(seed)
     bk = b * kb
     q = rng.normal(0, 1, (bk, h, d)).astype(np.float32)
@@ -49,10 +52,12 @@ def make_inputs(b, kb, h, t, d, seed=0, quantized=False):
         vs = rng.uniform(0.005, 0.02, (bk, h, t, 1)).astype(np.float32)
         kf = kq.astype(np.float32) * ks
         vf = vq.astype(np.float32) * vs
-        return q, kq, vq, ks, vs, kf, vf, anc
+        return (q, kq.swapaxes(0, 1), vq.swapaxes(0, 1),
+                ks.swapaxes(0, 1), vs.swapaxes(0, 1), kf, vf, anc)
     kf = rng.normal(0, 1, (bk, h, t, d)).astype(np.float32)
     vf = rng.normal(0, 1, (bk, h, t, d)).astype(np.float32)
-    return q, kf, vf, None, None, kf, vf, anc
+    return (q, kf.swapaxes(0, 1), vf.swapaxes(0, 1), None, None,
+            kf, vf, anc)
 
 
 @pytest.mark.parametrize("b,kb,tb", [(8, 4, 8), (6, 4, 2), (2, 2, 2), (4, 3, 4)])
@@ -107,8 +112,14 @@ def test_decode_step_beam_pallas_matches_fallback():
     params = gpt2.init_decoder_params(jax.random.PRNGKey(0), cfg)
     feats = jax.random.normal(jax.random.PRNGKey(1), (b * kb, 16))
     _, cache = gpt2.prefill(params, feats, 0, t - 1, cfg)
+    cache = gpt2.cache_to_beam_layers(cache)
     rng = np.random.default_rng(0)
-    anc = jnp.asarray(rng.integers(0, kb, (b, kb, t)).astype(np.int32))
+    anc = rng.integers(0, kb, (b, kb, t)).astype(np.int32)
+    # beam_generate invariant (reorder_ancestry): the slot being written
+    # this step (step 0 -> slot 2) maps each beam to its OWN lane — the
+    # fallback path relies on it for its explicit self-attention term
+    anc[:, :, 2] = np.arange(kb)
+    anc = jnp.asarray(anc)
     tok = jnp.asarray(rng.integers(0, 64, (b * kb,)).astype(np.int32))
 
     step_fb = functools.partial(gpt2.decode_step_beam, params, tok,
@@ -126,5 +137,5 @@ def test_decode_step_beam_pallas_matches_fallback():
 
     np.testing.assert_allclose(np.asarray(logits_pl), np.asarray(logits_fb),
                                rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(cache_pl["k"]),
-                               np.asarray(cache_fb["k"]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_pl["k_0"]),
+                               np.asarray(cache_fb["k_0"]), rtol=1e-5, atol=1e-5)
