@@ -447,8 +447,7 @@ def cache_to_beam_layers(cache):
 def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                      cache: Dict[str, jnp.ndarray], ancestry: jnp.ndarray,
                      cfg: DecoderConfig, precision=None,
-                     no_image: bool = False,
-                     use_pallas: Optional[bool] = None):
+                     no_image: bool = False):
     """One beam-search generation step with ancestry-masked attention.
 
     token: [B*K] (b-major rows); cache: per-layer head-leading buffers
@@ -463,22 +462,18 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     tiny ancestry table instead of the full cache (~7 ms/step of HBM copies
     at 192 rows on v5e). Each query attends over all K*T lane-slots of its
     item via a one-hot ancestry contraction — softmax over exactly the T
-    ancestry slots, numerically identical to the gathered path. A fused
-    Pallas kernel (ops/beam_attention_pallas.py) is available behind
-    RGRG_BEAM_PALLAS=1.
+    ancestry slots, numerically identical to the gathered path.
+
+    (A fused Pallas attention kernel was prototyped and deleted: three
+    formulations — python-unrolled heads, fori_loop heads, batched-dot /
+    VMEM-scratch heads — respectively blew up compile time, OOMed the
+    16 MB scoped-VMEM budget through cumulative per-iteration temporaries,
+    and crashed the Mosaic compiler with an opaque internal error; this
+    XLA one-hot path at ~7.5 ms/step on v5e is the shipped
+    implementation.)
 
     Returns (logits [B*K, vocab], updated cache).
     """
-    if use_pallas is None:
-        # the fused kernel currently LOSES to the one-hot XLA formulation
-        # in-graph (5.7 vs 17.5 reports/s at B=8 on v5e; per-call overhead
-        # under investigation) — opt in via RGRG_BEAM_PALLAS=1 while the
-        # kernel is being tuned
-        import os
-        use_pallas = (os.environ.get("RGRG_BEAM_PALLAS") == "1"
-                      and jax.default_backend() == "tpu")
-    from rgrg_tpu.ops.beam_attention_pallas import ancestry_bias, beam_attention
-
     bk = token.shape[0]
     b, k_beams, t_total = ancestry.shape
     pos = (step + 1) * jnp.ones((bk, 1), jnp.int32)
@@ -488,22 +483,14 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     quantized = cache["k_0"].dtype == jnp.int8
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, x.dtype))
 
-    if use_pallas:
-        # item tile: largest power of two <= 8 dividing B (decode budgets
-        # are {2^k, 3*2^k}, so 8 or 4 in practice)
-        tb = 8
-        while b % tb:
-            tb //= 2
-        bias = ancestry_bias(ancestry, slot, no_image, item_tile=tb)
-    else:
-        t_idx = jnp.arange(t_total)
-        visible = t_idx[None, None, None, :] <= slot               # [1,1,1,T]
-        if no_image:
-            visible = visible & (t_idx[None, None, None, :] != 0)
-        vis_bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
-        onehot = (ancestry[:, :, None, :]
-                  == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
-        onehot = onehot[None]                                      # [1,B,K,J,T]
+    t_idx = jnp.arange(t_total)
+    visible = t_idx[None, None, None, :] <= slot                   # [1,1,1,T]
+    if no_image:
+        visible = visible & (t_idx[None, None, None, :] != 0)
+    vis_bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
+    onehot = (ancestry[:, :, None, :]
+              == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
+    onehot = onehot[None]                                          # [1,B,K,J,T]
 
     def hlead(val):
         # [BK, H, 1, D'] projection -> [H, BK, 1, D'] cache write block
@@ -538,31 +525,24 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
             cache[f"{name}_{i}"] = jax.lax.dynamic_update_slice(
                 cache[f"{name}_{i}"], hlead(val), (0, 0, slot, 0))
 
-        if use_pallas:
-            ctx = beam_attention(
-                qh[:, :, 0, :], cache[f"k_{i}"], cache[f"v_{i}"], bias,
-                cache[f"k_scale_{i}"] if quantized else None,
-                cache[f"v_scale_{i}"] if quantized else None)      # [BK,H,D] f32
-            a = ctx.astype(x.dtype)[:, :, None, :]
-        else:
-            k_all = read("k", i)                                   # [H,B,J,T,D]
-            v_all = read("v", i)
-            q5 = qh[:, :, 0, :].swapaxes(0, 1).reshape(
-                cfg.num_heads, b, k_beams, cfg.head_dim)           # [H,B,K,D]
-            # dot_general (MXU) formulation; a broadcast-multiply-reduce
-            # variant (dequant fused into reduce fusions, no materialized
-            # dot operands) measured 2.6x SLOWER on v5e (6.5 vs 17 rps at
-            # B=8) — the VPU reduce over [H,B,K,J,T,D] loses to the MXU
-            # dots even counting the dequantized-operand materialization
-            s_all = jnp.einsum("hbkd,hbjtd->hbkjt", q5, k_all,
-                               precision=precision) * scale        # [H,B,K,J,T]
-            w = jnp.sum(s_all * onehot, axis=3) + vis_bias         # [H,B,K,T]
-            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-            wsel = w[:, :, :, None, :] * onehot                    # [H,B,K,J,T]
-            ctx = jnp.einsum("hbkjt,hbjtd->hbkd", wsel, v_all,
-                             precision=precision)
-            a = ctx.reshape(cfg.num_heads, bk, cfg.head_dim
-                            ).swapaxes(0, 1)[:, :, None, :]        # [BK,H,1,D]
+        k_all = read("k", i)                                       # [H,B,J,T,D]
+        v_all = read("v", i)
+        q5 = qh[:, :, 0, :].swapaxes(0, 1).reshape(
+            cfg.num_heads, b, k_beams, cfg.head_dim)               # [H,B,K,D]
+        # dot_general (MXU) formulation; a broadcast-multiply-reduce
+        # variant (dequant fused into reduce fusions, no materialized
+        # dot operands) measured 2.6x SLOWER on v5e (6.5 vs 17 rps at
+        # B=8) — the VPU reduce over [H,B,K,J,T,D] loses to the MXU
+        # dots even counting the dequantized-operand materialization
+        s_all = jnp.einsum("hbkd,hbjtd->hbkjt", q5, k_all,
+                           precision=precision) * scale            # [H,B,K,J,T]
+        w = jnp.sum(s_all * onehot, axis=3) + vis_bias             # [H,B,K,T]
+        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        wsel = w[:, :, :, None, :] * onehot                        # [H,B,K,J,T]
+        ctx = jnp.einsum("hbkjt,hbjtd->hbkd", wsel, v_all,
+                         precision=precision)
+        a = ctx.reshape(cfg.num_heads, bk, cfg.head_dim
+                        ).swapaxes(0, 1)[:, :, None, :]            # [BK,H,1,D]
 
         x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
