@@ -88,9 +88,15 @@ class RoIConfig:
     proposal_chunk: int = 256
     # serving knob: compact NMS survivors to this many proposals before the
     # RoI head (None = keep all post-NMS slots — reference parity). Exact
-    # whenever survivors <= budget (typical on real images: a few hundred
-    # survive IoU-0.7 NMS); otherwise drops the lowest-scored survivors,
-    # i.e. behaves like a smaller post_nms_top_n.
+    # whenever survivors <= budget; otherwise drops the lowest-scored
+    # survivors, i.e. behaves like a smaller post_nms_top_n. MUST be
+    # certified per served checkpoint with
+    # scripts/validate_proposal_budget.py (evidence:
+    # docs/artifacts/proposal_budget_validation.json): survivors shrink as
+    # training converges (668 mean at 150 steps -> 349 mean / 416 max at
+    # 1000 steps on the synthetic corpus), and a budget is EXACT iff it
+    # >= that checkpoint's survivors_max (600 was byte-exact, 300 was
+    # not). Default stays None; never set below a certified bound.
     inference_proposal_budget: Optional[int] = None
 
 
