@@ -11,6 +11,7 @@ separate modules called per stage — one jitted graph end to end.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -41,11 +42,18 @@ class RPNHead(nn.Module):
         return objectness, deltas
 
 
-class TwoMLPHead(nn.Module):
-    """fc6/fc7 of the Fast R-CNN box head.
+class _Fc6(nn.Module):
+    """fc6 as a MULTI-AXIS contraction over the pooled (P, P, C) dims.
 
-    Input is NHWC-pooled [N, P, P, C]; the checkpoint converter permutes
-    torch's channel-major fc6 weights to our spatial-major flatten order.
+    The param tree is the flattened [P*P*C, rep] kernel (checkpoint/converter
+    compatible, spatial-major order); the forward reshapes the KERNEL to
+    [P, P, C, rep] and contracts the pooled map's trailing three axes with
+    one dot_general. Flattening the ACTIVATION instead
+    (pooled.reshape(..., -1) + Dense) forces a physical relayout of the
+    [B, chunk, P, P, C] pooled tensor on TPU — the tiled (8,128) layout of
+    the split dims does not bitcast to the merged dim's tiling — measured
+    9.5 ms per 256-proposal chunk at B=24 (~26% of the whole detect pass);
+    relayouting the weight once instead is ~0.3 ms, CSE'd across chunks.
     """
 
     representation_size: int = 1024
@@ -53,9 +61,37 @@ class TwoMLPHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
-        x = pooled.reshape(pooled.shape[:-3] + (-1,))
-        x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
-                             name="fc6")(x))
+        p1, p2, c = pooled.shape[-3:]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p1 * p2 * c, self.representation_size), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.representation_size,), jnp.float32)
+        k4 = kernel.astype(self.dtype).reshape(
+            (p1, p2, c, self.representation_size))
+        nb = pooled.ndim - 3
+        y = jax.lax.dot_general(
+            pooled.astype(self.dtype), k4,
+            (((nb, nb + 1, nb + 2), (0, 1, 2)), ((), ())))
+        return y + bias.astype(self.dtype)
+
+
+class TwoMLPHead(nn.Module):
+    """fc6/fc7 of the Fast R-CNN box head.
+
+    Input is NHWC-pooled [N, P, P, C]; the checkpoint converter permutes
+    torch's channel-major fc6 weights to our spatial-major flatten order
+    (the fc6 kernel param stays [P*P*C, rep] — see _Fc6 for why the
+    contraction runs un-flattened).
+    """
+
+    representation_size: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        x = nn.relu(_Fc6(self.representation_size, dtype=self.dtype,
+                         name="fc6")(pooled))
         x = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype,
                              name="fc7")(x))
         return x
