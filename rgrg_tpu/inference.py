@@ -77,15 +77,25 @@ class ReportGenerator:
 
     # -------------------- pipeline --------------------
 
-    def preprocess(self, images: Sequence[Union[str, np.ndarray]]) -> jnp.ndarray:
+    def preprocess(self, images: Sequence[Union[str, np.ndarray]],
+                   transfer_dtype=None) -> jnp.ndarray:
         """Paths or grayscale arrays -> [B, 512, 512, 1] normalized batch.
 
         Uses the native C++ threaded pipeline (native/preprocess.cc) when
-        built; falls back to the numpy/cv2 path."""
+        built; falls back to the numpy/cv2 path. transfer_dtype: convert on
+        the HOST before upload (serving passes bfloat16 when the detector
+        computes in bf16 — numerically identical to uploading f32, half the
+        host->device traffic, and no extra on-device cast dispatch)."""
         arrays = [T.load_image(im) if isinstance(im, str) else im
                   for im in images]
         from rgrg_tpu.data.native import preprocess_batch
-        return jnp.asarray(preprocess_batch(arrays))
+        out = preprocess_batch(arrays)
+        if transfer_dtype is not None:
+            import ml_dtypes  # numpy-side bf16: upload the narrow dtype
+            out = out.astype(ml_dtypes.bfloat16
+                             if transfer_dtype == jnp.bfloat16
+                             else transfer_dtype)
+        return jnp.asarray(out)
 
     def generate_reports(self, images: Sequence[Union[str, np.ndarray]],
                          num_beams: Optional[int] = None,
@@ -102,6 +112,9 @@ class ReportGenerator:
         out = self.model.generate(self.params, batch, max_length=max_length,
                                   num_beams=num_beams,
                                   early_stopping=early_stopping)
+        # one batched transfer: on a tunneled TPU every separate host fetch
+        # costs a full roundtrip regardless of size (see serving._postprocess)
+        out = jax.device_get(out)
 
         results = []
         ids = np.asarray(out["output_ids"])

@@ -125,6 +125,40 @@ class RGRG:
         return (out.reshape(b, C.NUM_REGIONS, max_length),
                 decoded.reshape(b, C.NUM_REGIONS))
 
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "r_budget", "max_length", "precision", "num_beams",
+        "early_stopping", "kv_cache_dtype"))
+    def detect_and_decode(self, params: Dict[str, Any], images: jnp.ndarray,
+                          selected_regions: jnp.ndarray, r_budget: int,
+                          max_length: int, precision=None, num_beams: int = 1,
+                          early_stopping: bool = False, kv_cache_dtype=None
+                          ) -> Dict[str, jnp.ndarray]:
+        """One-dispatch serving step: detector + budgeted decode as a SINGLE
+        jitted graph. On a tunneled TPU every dispatch costs a host-device
+        roundtrip serialized with compute (~27 ms here); the serving
+        pipeline's caller-selected path (selection_override) needs no
+        classifier readback between the stages, so it fuses them. The
+        classifier-driven path still runs detect -> budget readback ->
+        decode as two calls. Images may be bf16 (the serving upload dtype
+        when the detector computes in bf16) or f32.
+        """
+        det = self.detector.apply(
+            params["detector"], images.astype(jnp.float32)
+            if images.dtype == jnp.bfloat16 and self.cfg.detector.dtype == "float32"
+            else images,
+            train=False, logit_threshold=self.cfg.classifier.logit_threshold)
+        ids, decoded = self.decode_selected(
+            params, det["region_features"], selected_regions, r_budget,
+            max_length, precision=precision, num_beams=num_beams,
+            early_stopping=early_stopping, kv_cache_dtype=kv_cache_dtype)
+        return {
+            "output_ids": ids,
+            "decoded_mask": decoded,
+            "class_detected": det["class_detected"],
+            "top_region_boxes": det["top_region_boxes"],
+            "selection_logits": det["selection_logits"],
+        }
+
     # ---------------- host orchestration ----------------
 
     def budget_for(self, num_selected: int, batch: int) -> int:

@@ -24,8 +24,18 @@ from rgrg_tpu.core import constants as C
 from rgrg_tpu.text.report import assemble_report
 
 
-def _postprocess(gen: ReportGenerator, out, n_images: int) -> List[GeneratedReport]:
-    ids = np.asarray(out["output_ids"])  # device sync happens here
+def _postprocess(gen: ReportGenerator, device_out, n_images: int
+                 ) -> List[GeneratedReport]:
+    # ONE batched transfer for every output of the batch: on this
+    # environment's tunneled TPU each separate np.asarray costs a full
+    # ~29 ms host<->device roundtrip regardless of size, while
+    # jax.device_get of the whole pytree moves everything in one
+    # (~39 ms measured for 5 arrays); running it on the post thread also
+    # overlaps the transfer with the next batch's device compute.
+    import jax
+
+    out = jax.device_get(device_out)
+    ids = out["output_ids"]
     results = []
     for b in range(n_images):
         sel = out["decoded_mask"][b]
@@ -51,52 +61,89 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                num_beams: int = 1,
                                max_length: int = 300,
                                early_stopping: bool = True,
-                               selection_override: Optional[np.ndarray] = None
+                               selection_override: Optional[np.ndarray] = None,
+                               kv_cache_dtype="int8",
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
     selection_override: optional [len(images), 29] bool mask decoded instead
-    of the classifier's selection (see RGRG.generate)."""
+    of the classifier's selection (see RGRG.generate).
+    kv_cache_dtype: serving default "int8" (halves-to-quarters decode cache
+    traffic; verified within tolerance vs the f32 path in
+    tests/test_int8_cache.py); pass None for the parameter-dtype cache."""
+    import jax.numpy as jnp
+    kv = {"int8": jnp.int8, None: None}.get(kv_cache_dtype, kv_cache_dtype)
     batches = [images[i:i + batch_size]
                for i in range(0, len(images), batch_size)]
     if not batches:
         return
 
+    # upload in the detector's compute dtype: with bf16 detector compute the
+    # first conv casts f32 inputs to bf16 anyway, so a bf16 upload is
+    # numerically identical and halves the host->device image traffic
+    bf16_upload = gen.model.cfg.detector.dtype == "bfloat16"
+
+    def preprocess(batch):
+        return gen.preprocess(
+            batch, transfer_dtype=jnp.bfloat16 if bf16_upload else None)
+
     with cf.ThreadPoolExecutor(max_workers=1) as pre, \
             cf.ThreadPoolExecutor(max_workers=1) as post:
-        pre_futures = [pre.submit(gen.preprocess, batches[0])]
+        pre_futures = [pre.submit(preprocess, batches[0])]
         post_future = None
 
         for i, batch in enumerate(batches):
             # start preprocessing the next batch before touching the device
             if i + 1 < len(batches):
-                pre_futures.append(pre.submit(gen.preprocess, batches[i + 1]))
+                pre_futures.append(pre.submit(preprocess, batches[i + 1]))
 
             device_batch = pre_futures[i].result()
-            det = gen.model.detect(gen.params, device_batch)
             if selection_override is None:
+                det = gen.model.detect(gen.params, device_batch)
                 sel = det["selected_regions"]
+                # the ONE unavoidable sync: the host picks the static decode
+                # bucket from the classifier's selection count
+                num_selected = int(np.asarray(sel).sum())
+                r_budget = gen.model.budget_for(num_selected, len(batch))
+                ids, decoded = gen.model.decode_selected(
+                    gen.params, det["region_features"], sel,
+                    r_budget, max_length, num_beams=num_beams,
+                    early_stopping=early_stopping, kv_cache_dtype=kv)
+                device_out = {
+                    "output_ids": ids,
+                    "decoded_mask": decoded,
+                    "selected_regions": sel,
+                    "class_detected": det["class_detected"],
+                    "detections": {"top_region_boxes":
+                                   det["top_region_boxes"]},
+                }
             else:
-                import jax.numpy as jnp
-                sel = jnp.asarray(
-                    selection_override[i * batch_size:i * batch_size + len(batch)])
-            num_selected = int(np.asarray(sel).sum())
-            r_budget = gen.model.budget_for(num_selected, len(batch))
-            ids, decoded = gen.model.decode_selected(
-                gen.params, det["region_features"], sel,
-                r_budget, max_length, num_beams=num_beams,
-                early_stopping=early_stopping)
-            out = {
-                "output_ids": ids,
-                "decoded_mask": np.asarray(decoded),
-                "selected_regions": np.asarray(sel),
-                "class_detected": np.asarray(det["class_detected"]),
-                "detections": {"top_region_boxes":
-                               np.asarray(det["top_region_boxes"])},
-            }
+                # caller-selected regions: no readback between the stages, so
+                # detect+decode run as ONE dispatch (detect_and_decode) —
+                # each separate jit call costs a host<->device roundtrip
+                # serialized with compute on a tunneled TPU
+                host_sel = selection_override[
+                    i * batch_size:i * batch_size + len(batch)]
+                sel = jnp.asarray(host_sel)
+                r_budget = gen.model.budget_for(int(host_sel.sum()),
+                                                len(batch))
+                out = gen.model.detect_and_decode(
+                    gen.params, device_batch, sel, r_budget, max_length,
+                    num_beams=num_beams, early_stopping=early_stopping,
+                    kv_cache_dtype=kv)
+                device_out = {
+                    "output_ids": out["output_ids"],
+                    "decoded_mask": out["decoded_mask"],
+                    "selected_regions": sel,
+                    "class_detected": out["class_detected"],
+                    "detections": {"top_region_boxes":
+                                   out["top_region_boxes"]},
+                }
 
+            # the post thread fetches everything in one batched device_get
+            # overlapped with the next batch's compute
             if post_future is not None:
                 yield post_future.result()
-            post_future = post.submit(_postprocess, gen, out, len(batch))
+            post_future = post.submit(_postprocess, gen, device_out, len(batch))
 
         yield post_future.result()
