@@ -36,7 +36,10 @@ from rgrg_tpu.models.full_model import RGRG
 from rgrg_tpu.serving import generate_reports_pipelined
 from rgrg_tpu.text.tokenizer import GPT2Tokenizer
 
-BATCH = 24
+BATCH = 32              # 32 x 6 regions = 192 rows fills the 192 decode
+                        # bucket EXACTLY (24 x 6 = 144 rows pad to the same
+                        # 192 budget: 33% wasted decode) — measured 110 vs
+                        # 95 reports/s on the device path
 REGIONS_PER_IMAGE = 6
 SENT_TOKENS = 60
 BEAM_BATCH = 8          # round-1 beam comparison point (STATUS.md)

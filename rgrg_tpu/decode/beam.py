@@ -81,7 +81,9 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
     def process(logits, state, cur_len):
         """One HF BeamSearchScorer.process step. cur_len = current sequence
         length (tokens so far, incl. BOS); the new token lands at index
-        cur_len. Returns (next flat beam idx, next tokens, new state)."""
+        cur_len. Returns (new_beam [B, K] per-item parent-lane indices —
+        consumed by reorder_ancestry, NOT flat cache-row indices —, next
+        tokens [B*K], new state)."""
         (out, beam_scores, f_scores, f_seqs, f_lens, done) = state
         # two-stage exact top-2K: per-lane top-2K of the RAW logits (per
         # lane, logp = logits - logsumexp is a monotone shift, so the same

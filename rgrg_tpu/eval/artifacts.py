@@ -29,8 +29,12 @@ def write_sentences_txt(collector, out_dir: str, step: int = 0) -> None:
     """generated_sentences_step_N + generated_abnormal_sentences_step_N."""
     sent_dir = os.path.join(out_dir, "generated_sentences")
     os.makedirs(sent_dir, exist_ok=True)
-    ab = collector.is_abnormal if collector.is_abnormal else [False] * len(
-        collector.gen_sents)
+    # abnormality flags are only trustworthy when EVERY batch supplied them:
+    # a partially-populated list would zip positionally against gen_sents and
+    # attribute later sentences' flags to earlier ones
+    ab = (collector.is_abnormal
+          if len(collector.is_abnormal) == len(collector.gen_sents)
+          else [False] * len(collector.gen_sents))
 
     with open(os.path.join(sent_dir,
                            f"generated_sentences_step_{step}.txt"), "w") as f:

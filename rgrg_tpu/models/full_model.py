@@ -142,11 +142,10 @@ class RGRG:
         decode as two calls. Images may be bf16 (the serving upload dtype
         when the detector computes in bf16) or f32.
         """
-        det = self.detector.apply(
-            params["detector"], images.astype(jnp.float32)
-            if images.dtype == jnp.bfloat16 and self.cfg.detector.dtype == "float32"
-            else images,
-            train=False, logit_threshold=self.cfg.classifier.logit_threshold)
+        if (images.dtype == jnp.bfloat16
+                and self.cfg.detector.dtype == "float32"):
+            images = images.astype(jnp.float32)
+        det = self.detect(params, images)  # nested jit inlines
         ids, decoded = self.decode_selected(
             params, det["region_features"], selected_regions, r_budget,
             max_length, precision=precision, num_beams=num_beams,

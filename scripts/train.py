@@ -86,8 +86,15 @@ def main():
             # non-degenerate sentences (evaluate_model.py:549-554, >100k)
             if (tok is not None and args.stage >= 2
                     and int(state.step) >= cfg.train.lm_eval_min_steps):
+                # cap the iterator itself: evaluate_model's
+                # max_language_batches bounds only the generation loop, and
+                # an uncapped iterator would still run detector inference
+                # over the WHOLE validation split for metrics we discard
+                import itertools
                 lm = evaluate_model(model, state.params,
-                                    val_ds.batches(batch_size), tok,
+                                    itertools.islice(
+                                        val_ds.batches(batch_size), 5),
+                                    tok,
                                     max_language_batches=5, max_length=128)
                 for k, v in lm.get("sentence", {}).items():
                     if isinstance(v, (int, float)):

@@ -166,16 +166,30 @@ class TestTrainAugmentationProperties:
             center = out[200:300, 200:300, 0] * 1.0
             stds.append(center.std())
         assert stds, "no noise-only draws in 40 seeds"
+        # normalized-space std = pixel-space std / (255 * norm_std); the
+        # declared var_limit [10, 50] bounds pixel std to sqrt([10, 50]),
+        # plus margin for uint8 clipping and interpolation smoothing
+        from rgrg_tpu.core import constants as C_
+        lo = np.sqrt(10) / 255 / C_.IMAGE_STD * 0.5
+        hi = np.sqrt(50) / 255 / C_.IMAGE_STD * 1.5
+        assert lo <= np.median(stds) <= hi, (np.median(stds), lo, hi)
 
     def test_brightness_contrast_bounded(self):
         """ColorJitter-only draws stay within the +-20% envelope."""
         img = np.full((64, 64), 100, np.uint8)
         boxes = np.zeros((0, 4), np.float32)
         out_ref, _ = T.val_transform(img, boxes)
+        ref = float(out_ref[32, 32, 0])
         for seed in range(30):
             out, _ = T.train_transform(img, boxes, np.random.default_rng(seed))
-            center = out[28:36, 28:36, 0]
-            ref = out_ref[28:36, 28:36, 0]
-            # normalized space is affine in pixel value; 20% brightness on a
-            # uniform image shifts pixels by <= ~25% after noise
-            assert np.isfinite(center).all()
+            center = float(np.median(out[28:36, 28:36, 0]))
+            assert np.isfinite(center)
+            # un-normalize both to pixel space; ColorJitter's +-20%
+            # brightness/contrast envelope on a uniform 100-value image
+            # bounds the pixel at [100*0.8*0.8, 100*1.2*1.2], plus noise
+            # (std <= sqrt(50)) and interpolation margin
+            from rgrg_tpu.core import constants as C_
+            px = center * 255 * C_.IMAGE_STD + 255 * C_.IMAGE_MEAN
+            px_ref = ref * 255 * C_.IMAGE_STD + 255 * C_.IMAGE_MEAN
+            assert abs(px_ref - 100) < 2, px_ref
+            assert 100 * 0.8 * 0.8 - 25 <= px <= 100 * 1.2 * 1.2 + 25, px

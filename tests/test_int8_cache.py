@@ -55,3 +55,48 @@ def test_int8_greedy_mostly_matches():
     # logits, so occasional divergence is expected)
     assert a.shape == b.shape
     assert (a == b).mean() > 0.6
+
+
+def test_int8_beam_step_close_to_f32():
+    """decode_step_beam's quantized write/dequant-read path vs the f32 cache
+    (the serving/bench default for beam is the int8 cache — the mechanism
+    needs its own oracle, not just the greedy path's)."""
+    params = gpt2.init_decoder_params(jax.random.PRNGKey(5), TINY)
+    b, kb, t = 2, 2, 9
+    feats = jax.random.normal(jax.random.PRNGKey(6), (b * kb, TINY.hidden_dim))
+
+    _, cache_f = gpt2.prefill(params, feats, TINY.bos_token_id, t - 1, TINY)
+    _, cache_q = gpt2.prefill(params, feats, TINY.bos_token_id, t - 1, TINY,
+                              cache_dtype=jnp.int8)
+    cache_f = gpt2.cache_to_beam_layers(cache_f)
+    cache_q = gpt2.cache_to_beam_layers(cache_q)
+    assert cache_q["k_0"].dtype == jnp.int8
+    assert cache_q["k_scale_0"].shape == cache_q["k_0"].shape[:-1] + (1,)
+
+    rng = np.random.default_rng(0)
+    anc = rng.integers(0, kb, (b, kb, t)).astype(np.int32)
+    tok = jnp.asarray(rng.integers(0, TINY.vocab_size, (b * kb,)), jnp.int32)
+    for step in range(3):
+        anc[:, :, step + 2] = np.arange(kb)  # reorder_ancestry invariant
+        lf, cache_f = gpt2.decode_step_beam(params, tok, jnp.int32(step),
+                                            cache_f, jnp.asarray(anc), TINY)
+        lq, cache_q = gpt2.decode_step_beam(params, tok, jnp.int32(step),
+                                            cache_q, jnp.asarray(anc), TINY)
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(lf),
+                                   rtol=0.1, atol=0.15)
+        tok = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+
+def test_int8_beam_generate_mostly_matches():
+    """Full beam_generate with cache_dtype=int8 vs f32: quantization noise
+    may flip occasional near-tie tokens but the sequences must be largely
+    identical on a tiny model."""
+    from rgrg_tpu.decode.beam import beam_generate
+
+    params = gpt2.init_decoder_params(jax.random.PRNGKey(7), TINY)
+    feats = jax.random.normal(jax.random.PRNGKey(8), (3, TINY.hidden_dim)) * 2
+    ids_f = beam_generate(params, feats, TINY, max_length=10, num_beams=2)
+    ids_q = beam_generate(params, feats, TINY, max_length=10, num_beams=2,
+                          cache_dtype=jnp.int8)
+    agree = float(np.mean(np.asarray(ids_f) == np.asarray(ids_q)))
+    assert agree >= 0.8, f"int8 beam diverged too far: agreement {agree}"

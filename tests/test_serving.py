@@ -32,8 +32,13 @@ def test_pipelined_matches_direct(setup):
     gen, paths = setup
     direct = gen.generate_reports(paths, num_beams=1, max_length=6,
                                   early_stopping=False)
+    # kv_cache_dtype=None: the direct API decodes with the param-dtype
+    # cache, so the parity check must compare like with like (the pipeline's
+    # serving default is int8, whose quantization noise is NOT guaranteed to
+    # preserve greedy argmax token-for-token)
     piped = [r for chunk in generate_reports_pipelined(
-        gen, paths, batch_size=2, num_beams=1, max_length=6) for r in chunk]
+        gen, paths, batch_size=2, num_beams=1, max_length=6,
+        kv_cache_dtype=None) for r in chunk]
     assert len(piped) == len(direct) == 5
     for a, b in zip(piped, direct):
         assert a.report == b.report
