@@ -206,9 +206,17 @@ class TrainConfig:
     loss_weight_selection: float = 5.0
     loss_weight_abnormal: float = 5.0
     loss_weight_lm: float = 2.0
-    # lr scheduler (ReduceLROnPlateau equivalents)
+    # lr scheduler: torch ReduceLROnPlateau(mode="min", rel threshold) with
+    # the reference's values (training_script_object_detector.py:47-50,621)
     lr_patience: int = 5
     lr_factor: float = 0.5
+    lr_threshold: float = 1e-3   # relative improvement threshold
+    lr_cooldown: int = 5         # validations ignored after each reduction
+    # optional early stop: validations without a new best before training
+    # halts (the reference documents this intent on its train_model
+    # `patience` arg, training_script_object_detector.py:328-330, though its
+    # loop never wires it); None disables (matching the reference's code)
+    early_stop_patience: Optional[int] = None
     bf16: bool = True
     # language-generation eval is gated until the model has trained long
     # enough to produce non-degenerate sentences (reference

@@ -204,7 +204,9 @@ def default_scorer(cfg: BertConfig = DISTILBERT_CONFIG,
     model_dir = os.environ.get("RGRG_DISTILBERT_DIR", "")
     if not model_dir or not os.path.isdir(model_dir):
         return None
-    key = (model_dir, layer)
+    # cfg is a frozen (hashable) dataclass: include it so a second call with
+    # a different BertConfig doesn't silently get the first config's scorer
+    key = (model_dir, layer, cfg)
     if _cache and key in _DEFAULT_SCORER_CACHE:
         return _DEFAULT_SCORER_CACHE[key]
     scorer = load_bertscorer(model_dir, cfg=cfg, layer=layer)

@@ -87,8 +87,17 @@ class DetectorMetrics:
 
 @dataclasses.dataclass
 class BinaryMetrics:
-    """P/R/F1 of the positive class over detected regions
-    (evaluate_model.py:344-357 rationale)."""
+    """P/R/F1 of the positive class (evaluate_model.py:344-357 rationale).
+
+    `mask` restricts WHICH (image, region) cells enter the metric — both
+    prediction and target are boolean-indexed by it, exactly like the
+    reference's subset indexing (evaluate_model.py:197-213 for the
+    normal/abnormal selection subsets; :171-186 class_detected gating for
+    the abnormal classifier). Any prediction-side gating (e.g.
+    selected_regions[~class_detected] = False) must already be baked into
+    `pred` by the model, as in the reference — do NOT fold class_detected
+    into `mask` for the selection metrics: an undetected region with a gt
+    sentence is a FN there, not a dropped cell."""
     tp: int = 0
     fp: int = 0
     fn: int = 0
@@ -221,6 +230,8 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
                    tokenizer: Optional[GPT2Tokenizer] = None,
                    generate_language: bool = True,
                    num_beams: int = 1, max_length: int = 64,
+                   early_stopping: bool = True,
+                   kv_cache_dtype=None,
                    max_language_batches: int = 100,
                    similarity_fn="auto",
                    chexbert: Optional[Callable[[List[str]], np.ndarray]] = None,
@@ -231,6 +242,12 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
     """Full validation pass: detector + classifier metrics over all batches;
     language generation/metrics over <= max_language_batches (the reference
     caps at 100, evaluate_language_model.py:1184-1206).
+
+    early_stopping defaults True so the beam call is argument-identical to
+    the reference's generate(num_beams=4, early_stopping=True)
+    (evaluate_language_model.py:1204-1205); it is ignored for greedy.
+    kv_cache_dtype: None = parameter-dtype KV cache (the parity default);
+    serving may certify jnp.int8.
 
     chexbert: optional callable reports -> [14, N] labels for CE scores.
     artifacts_dir: when set, writes the reference's txt artifacts —
@@ -262,14 +279,22 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
                          np.asarray(det["top_region_boxes"]), artifacts_dir,
                          step=step, max_images=num_figure_images)
         if "region_has_sentence" in batch:
+            # selection metrics: detection gating is already baked into the
+            # PREDICTION (selected_regions = logits>thr & class_detected,
+            # detector.py:282, matching the reference model's
+            # selected_regions[~class_detected]=False); the subsets index
+            # both sides by region_is_abnormal only
+            # (evaluate_model.py:197-213) — an undetected region with a gt
+            # sentence therefore counts as a FN, as in the reference.
             selected = np.asarray(det["selected_regions"])
             has_sent = batch["region_has_sentence"].astype(bool)
             abnormal = batch["region_is_abnormal"].astype(bool)
-            sel_metrics["all"].update(selected, has_sent, class_detected)
-            sel_metrics["normal"].update(selected, has_sent,
-                                         class_detected & ~abnormal)
-            sel_metrics["abnormal"].update(selected, has_sent,
-                                           class_detected & abnormal)
+            sel_metrics["all"].update(selected, has_sent,
+                                      np.ones_like(abnormal))
+            sel_metrics["normal"].update(selected, has_sent, ~abnormal)
+            sel_metrics["abnormal"].update(selected, has_sent, abnormal)
+            # abnormal classifier: the reference DOES restrict both sides to
+            # detected regions here (evaluate_model.py:171-186)
             abn_metrics.update(np.asarray(det["predicted_abnormal"]),
                                abnormal, class_detected)
 
@@ -279,7 +304,8 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
             r_budget = model.budget_for(int(jnp.sum(sel)), batch["images"].shape[0])
             ids, decoded = model.decode_selected(
                 params, det["region_features"], sel, r_budget, max_length,
-                num_beams=num_beams)
+                num_beams=num_beams, early_stopping=early_stopping,
+                kv_cache_dtype=kv_cache_dtype)
             collector.add_batch(np.asarray(ids), np.asarray(decoded), tokenizer,
                                 batch["reference_phrases"],
                                 batch.get("region_is_abnormal"),
@@ -313,9 +339,11 @@ def validation_losses(model: RGRG, params: Dict[str, Any],
                       max_batches: int = 20,
                       rng: Optional[jax.Array] = None) -> Dict[str, float]:
     """Per-module validation losses, the reference's val_losses_dict
-    (evaluate_model.py:285-527): mean of each loss component plus "total"
-    over up to max_batches validation batches (dropout off via train=False
-    semantics inside compute_losses' eval rng use)."""
+    (evaluate_model.py:285-527), computed with torch eval() semantics
+    (compute_losses train=False): BN running stats, dropout off, eval RPN
+    top-n — losses enabled in eval mode by the custom RPN/RoI
+    (custom_rpn.py:14-24). With the fixed rng the result is deterministic:
+    the same batch always yields the same loss."""
     from rgrg_tpu.train.trainer import compute_losses
 
     rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -327,7 +355,7 @@ def validation_losses(model: RGRG, params: Dict[str, Any],
         batch = {k: v for k, v in batch.items()
                  if isinstance(v, (np.ndarray, jnp.ndarray))}
         total, losses, _ = compute_losses(model, params, batch, rng, stage,
-                                          tcfg, lm_budget)
+                                          tcfg, lm_budget, train=False)
         sums["total"] = sums.get("total", 0.0) + float(total)
         for k, v in losses.items():
             sums[k] = sums.get(k, 0.0) + float(v)

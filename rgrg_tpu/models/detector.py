@@ -195,6 +195,13 @@ class RegionDetector(nn.Module):
         RoI head runs on the 512 SAMPLED proposals (gt-augmented), and
         top-1-per-class / region features are computed from those samples.
 
+        bn_train=False gives the reference's eval-with-targets semantics
+        (model.eval() + losses enabled by the custom RPN/RoI,
+        custom_rpn.py:14-24): BN running stats, eval RPN top-n (1000 vs
+        2000), but proposal sampling still runs — the reference's
+        select_training_samples executes whenever targets are given
+        (custom_roi_heads.py:225-226).
+
         gt_boxes: [B, G, 4]; gt_labels: [B, G] int (1..29); gt_valid: [B, G].
         Returns (losses dict, aux dict with region_features [B,29,1024],
         class_detected [B,29], selection/abnormal logits).
@@ -204,7 +211,7 @@ class RegionDetector(nn.Module):
         r_rpn, r_roi = jax.random.split(rng)
         feats = self.backbone_features(images, train=bn_train)
         boxes, keep, (objectness, deltas, anchors) = self.rpn_proposals(
-            feats, train=True)
+            feats, train=bn_train)
 
         rpn_losses = L.rpn_loss(r_rpn, objectness, deltas, anchors,
                                 gt_boxes, gt_valid, self.cfg)

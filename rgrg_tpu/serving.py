@@ -72,7 +72,18 @@ def generate_reports_pipelined(gen: ReportGenerator,
     traffic; verified within tolerance vs the f32 path in
     tests/test_int8_cache.py); pass None for the parameter-dtype cache."""
     import jax.numpy as jnp
-    kv = {"int8": jnp.int8, None: None}.get(kv_cache_dtype, kv_cache_dtype)
+    if kv_cache_dtype is None or kv_cache_dtype == "int8":
+        kv = {"int8": jnp.int8, None: None}[kv_cache_dtype]
+    else:
+        # accept an actual jnp dtype (e.g. jnp.bfloat16); reject strings we
+        # don't map — they would otherwise fail with an opaque jnp.zeros
+        # dtype error deep inside the jitted prefill
+        try:
+            kv = jnp.dtype(kv_cache_dtype)
+        except TypeError as e:
+            raise ValueError(
+                f"kv_cache_dtype must be 'int8', None, or a jnp dtype; "
+                f"got {kv_cache_dtype!r}") from e
     batches = [images[i:i + batch_size]
                for i in range(0, len(images), batch_size)]
     if not batches:

@@ -22,16 +22,62 @@ import re
 from collections import defaultdict
 from typing import Callable, List, Optional, Sequence, Tuple
 
-# split after . ! ? when followed by whitespace + a plausible sentence start
-# (uppercase letter, digit, or end); avoids splitting decimals like "1.5 cm"
-_SENT_BOUNDARY = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9(])")
+# Candidate boundary: after . ! ? when followed by whitespace + a plausible
+# sentence start (uppercase letter, digit, or '('); never splits decimals
+# like "1.5 cm" (no whitespace after the '.').
+_SENT_BOUNDARY = re.compile(
+    r"(?:(?<=[.!?])|(?<=[.!?][)\"']))\s+(?=[A-Z0-9(])")
+
+# Abbreviations whose trailing '.' is not a sentence end (spacy's
+# en_core_web_trf parses these through; the reference splits with it,
+# evaluate_language_model.py:1180 / create_dataset.py:371). Multi-dot
+# abbreviations ("e.g.", "i.e.", "a.m.") are matched on their full lowered
+# form with the final dot stripped.
+_ABBREVIATIONS = {
+    "dr", "mr", "mrs", "ms", "prof", "st", "jr", "sr",
+    "vs", "no", "fig", "approx", "cf", "al",   # "et al."
+    "e.g", "i.e", "a.m", "p.m",
+}
+# A standalone 1-2 digit enumerator at the start of a segment ("2. Stable
+# appearance.") is a list marker, not a sentence of its own.
+_ENUMERATOR = re.compile(r"\d{1,2}")
+# A single letter before '.' is an initial ("A. Smith"), not a sentence end.
+_INITIAL = re.compile(r"[A-Za-z]")
 
 
 def split_sentences(text: str) -> List[str]:
+    """Rule-based sentence splitter approximating the reference's spacy
+    en_core_web_trf pipeline on MIMIC-style report text.
+
+    Decisions pinned in tests/test_text.py (the divergence corpus):
+      - split after [.!?] + whitespace + [A-Z0-9(];
+      - do NOT split after known abbreviations, single-letter initials, or
+        a leading numbered-list marker;
+      - a '.'-less final fragment is kept as its own sentence;
+      - period + whitespace + lowercase is treated as a continuation (the
+        trf parser usually agrees on MIMIC phrasing; divergence is possible
+        on genuinely lowercase sentence starts, which the tokenizer's
+        capitalized region sentences don't produce).
+    """
     text = text.strip()
     if not text:
         return []
-    return [s for s in _SENT_BOUNDARY.split(text) if s]
+    parts: List[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        segment = text[start:m.start()]
+        words = segment.split()
+        last = words[-1] if words else ""
+        if last.endswith("."):
+            word = last[:-1].lower()
+            if word in _ABBREVIATIONS or _INITIAL.fullmatch(word):
+                continue
+            if len(words) == 1 and _ENUMERATOR.fullmatch(word):
+                continue  # "2." opening the segment: list marker
+        parts.append(segment)
+        start = m.end()
+    parts.append(text[start:])
+    return [p for p in parts if p]
 
 
 SimilarityFn = Callable[[List[Tuple[str, str]]], List[float]]

@@ -41,25 +41,60 @@ log = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class PlateauScheduler:
-    """ReduceLROnPlateau: multiply LR scale by `factor` after `patience`
-    validations without improvement (reference uses torch's with defaults,
-    training_script_object_detector.py:621 / train_full_model.py)."""
+    """torch ReduceLROnPlateau(mode="min", threshold_mode="rel") state
+    machine, replicated step for step (torch/optim/lr_scheduler.py), with
+    the reference's arguments factor=0.5, patience=5, threshold=1e-3,
+    cooldown=5 (training_script_object_detector.py:47-50,621;
+    train_full_model.py:588):
+
+      - improvement means val < best * (1 - threshold)  [rel mode, min]
+      - during cooldown (after a reduction) bad-epoch counting is paused
+      - reduce when num_bad_epochs > patience, then enter cooldown
+      - a reduction smaller than eps is skipped (torch's `eps` guard)
+    """
     factor: float = 0.5
     patience: int = 5
+    threshold: float = 1e-3
+    cooldown: int = 5
+    eps: float = 1e-8
     best: float = float("inf")
     bad_count: int = 0
+    cooldown_counter: int = 0
     scale: float = 1.0
 
     def update(self, val_loss: float) -> float:
-        if val_loss < self.best - 1e-8:
+        if val_loss < self.best * (1.0 - self.threshold):
             self.best = val_loss
             self.bad_count = 0
         else:
             self.bad_count += 1
-            if self.bad_count > self.patience:
-                self.scale *= self.factor
-                self.bad_count = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_count = 0
+        if self.bad_count > self.patience:
+            new_scale = self.scale * self.factor
+            if self.scale - new_scale > self.eps:
+                self.scale = new_scale
+            self.cooldown_counter = self.cooldown
+            self.bad_count = 0
         return self.scale
+
+
+def warm_start_params(params, init_params):
+    """Stage-(N-1) -> stage-N parameter handoff (the reference loads the
+    previous stage's checkpoint into the next stage's model,
+    run_configurations.py:11-28 / train_full_model.py:289-302): every
+    top-level subtree present in init_params replaces the random init;
+    subtrees absent from init_params (e.g. the decoder when warm-starting
+    stage 2 from a stage-1 detector checkpoint) keep their fresh init.
+    Raises on unknown subtree keys so a mis-keyed checkpoint fails loudly."""
+    params = dict(params)
+    for key, sub in init_params.items():
+        if key not in params:
+            raise KeyError(f"warm-start subtree {key!r} not in model params "
+                           f"(have {sorted(params)})")
+        params[key] = jax.tree.map(jnp.asarray, sub)
+    return params
 
 
 def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
@@ -83,10 +118,7 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
     state, optimizer = trainer.init_train_state(
         model, jax.random.PRNGKey(tcfg.seed), tcfg, stage=stage)
     if init_params is not None:
-        import jax.numpy as jnp
-        params = dict(state.params)
-        for key, sub in init_params.items():
-            params[key] = jax.tree.map(jnp.asarray, sub)
+        params = warm_start_params(state.params, init_params)
         state = trainer.TrainState(params, optimizer.init(params), state.step)
     if resume_from:
         state = load_checkpoint(resume_from, target=state)
@@ -98,9 +130,13 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
     step_fn = trainer.make_train_step(model, tcfg, optimizer, stage=stage,
                                       lm_budget=lm_budget)
 
-    plateau = PlateauScheduler(factor=tcfg.lr_factor, patience=tcfg.lr_patience)
+    plateau = PlateauScheduler(factor=tcfg.lr_factor, patience=tcfg.lr_patience,
+                               threshold=tcfg.lr_threshold,
+                               cooldown=tcfg.lr_cooldown)
     evaluate_every = evaluate_every or tcfg.evaluate_every_k_batches
     best_val = float("inf")
+    vals_since_best = 0
+    stop_early = False
     rng = jax.random.PRNGKey(tcfg.seed + 1)
     step = int(state.step)
 
@@ -153,14 +189,23 @@ def train(model: RGRG, cfg: RGRGConfig, train_batches: Callable[[], Iterable],
                                             "train/lr_scale": scale})
                 if val_loss < best_val:
                     best_val = val_loss
+                    vals_since_best = 0
                     save_checkpoint(os.path.join(run_dir, "best"), state)
+                else:
+                    vals_since_best += 1
+                    if (tcfg.early_stop_patience is not None
+                            and vals_since_best > tcfg.early_stop_patience):
+                        log.info("early stop: %d validations without a new "
+                                 "best (patience %d)", vals_since_best,
+                                 tcfg.early_stop_patience)
+                        stop_early = True
             if checkpoint_every and step % checkpoint_every == 0:
                 save_checkpoint(os.path.join(run_dir, f"step_{step}"), state)
-            if max_steps and step >= max_steps:
+            if stop_early or (max_steps and step >= max_steps):
                 break
         writer.write_scalars(step, {"train/epoch_seconds": time.time() - t_epoch,
                                     "train/epoch": epoch})
-        if max_steps and step >= max_steps:
+        if stop_early or (max_steps and step >= max_steps):
             break
 
     save_checkpoint(os.path.join(run_dir, "last"), state)

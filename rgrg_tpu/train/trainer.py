@@ -138,15 +138,23 @@ def make_optimizer(params: Dict[str, Any], tcfg: TrainConfig, stage: int,
 
 def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
                    rng: jax.Array, stage: int, tcfg: TrainConfig,
-                   lm_budget: int, precision=None):
-    """Returns (total, loss dict, new batch_stats)."""
+                   lm_budget: int, precision=None, train: bool = True):
+    """Returns (total, loss dict, new batch_stats).
+
+    train=False gives torch eval() loss semantics (the reference computes
+    validation losses under model.eval() with losses enabled by the custom
+    RPN/RoI, custom_rpn.py:14-24 / training_script_object_detector.py:210-286):
+    BN uses running stats (and batch_stats are NOT updated) and dropout is
+    off, so the same batch always yields the same loss. The fg/bg proposal
+    sampling rng still applies in both modes — torch's fg_bg_sampler uses
+    randperm regardless of the training flag."""
     det = model.detector
     variables = params["detector"]
     rng_det, rng_drop = jax.random.split(rng)
     (det_losses, aux), mutated = det.apply(
         variables, batch["images"], batch["gt_boxes"], batch["gt_labels"],
         batch["gt_valid"], rng_det, method=det.train_forward,
-        mutable=["batch_stats"])
+        bn_train=train, mutable=["batch_stats"])
 
     losses = dict(det_losses)
     total = tcfg.loss_weight_detector * sum(det_losses.values())
@@ -168,12 +176,13 @@ def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
         lm = L.lm_loss_selected(params["decoder"], batch["input_ids"],
                                 batch["attention_mask"], aux["region_features"],
                                 seq_valid, model.cfg.decoder, lm_budget,
-                                precision=precision, dropout_rng=rng_drop)
+                                precision=precision,
+                                dropout_rng=rng_drop if train else None)
         losses["loss_lm"] = lm
         total = total + tcfg.loss_weight_lm * lm
 
     losses["loss_total"] = total
-    return total, losses, mutated.get("batch_stats")
+    return total, losses, mutated.get("batch_stats") if train else None
 
 
 def make_train_step(model: RGRG, tcfg: TrainConfig, optimizer,

@@ -48,6 +48,40 @@ class TestAccumulators:
         m.update(pred, targ, np.array([[False]]))
         assert m.compute() == {"precision": 0.0, "recall": 0.0, "f1": 0.0}
 
+    def test_selection_subsets_match_reference_indexing(self):
+        """The selection metrics must reproduce the reference's semantics
+        (evaluate_model.py:197-213, ADVICE r2 #1): detection gating lives in
+        the PREDICTION only (selected_regions[~class_detected]=False), the
+        normal/abnormal subsets boolean-index BOTH sides by
+        region_is_abnormal, and an undetected region with a gt sentence is
+        a FN — not a dropped cell. Oracle: sklearn binary P/R/F1 over the
+        reference's exact indexing."""
+        from sklearn.metrics import precision_recall_fscore_support
+
+        rng = np.random.default_rng(3)
+        raw_sel = rng.uniform(size=(8, 29)) > 0.5
+        class_detected = rng.uniform(size=(8, 29)) > 0.3
+        has_sent = rng.uniform(size=(8, 29)) > 0.5
+        abnormal = rng.uniform(size=(8, 29)) > 0.8
+        # model-side gating, as in detector.py:282 / the reference model
+        selected = raw_sel & class_detected
+        # at least one undetected region WITH a gt sentence must exist so
+        # the FN semantics are actually exercised
+        assert ((~class_detected) & has_sent).any()
+
+        subsets = {"all": np.ones_like(abnormal),
+                   "normal": ~abnormal, "abnormal": abnormal}
+        for name, subset in subsets.items():
+            m = BinaryMetrics()
+            m.update(selected, has_sent, subset)
+            got = m.compute()
+            p, r, f1, _ = precision_recall_fscore_support(
+                has_sent[subset], selected[subset], average="binary",
+                zero_division=0)
+            assert got["precision"] == pytest.approx(p), name
+            assert got["recall"] == pytest.approx(r), name
+            assert got["f1"] == pytest.approx(f1), name
+
 
 class TestPerturb:
     def test_zero_std_identity(self):

@@ -90,6 +90,40 @@ class TestReportAssembly:
         s = split_sentences("There is a 1.5 cm nodule. The heart is normal.")
         assert s == ["There is a 1.5 cm nodule.", "The heart is normal."]
 
+    def test_split_divergence_corpus(self):
+        """Pins the splitter's decisions on the constructs spacy's trf
+        pipeline handles specially (VERDICT r2 #8). Each case documents the
+        intended behavior on MIMIC-style phrasing."""
+        cases = [
+            # abbreviation traps: no split after Dr./e.g./i.e./et al./a.m.
+            ("Discussed with Dr. Smith at the time of interpretation.",
+             ["Discussed with Dr. Smith at the time of interpretation."]),
+            ("Lines are unchanged, e.g. The right PICC remains.",
+             ["Lines are unchanged, e.g. The right PICC remains."]),
+            ("Findings discussed per Miura et al. No acute process.",
+             ["Findings discussed per Miura et al. No acute process."]),
+            ("Notified at 10:02 a.m. By telephone.",
+             ["Notified at 10:02 a.m. By telephone."]),
+            # single-letter initial
+            ("Reviewed by A. Jones. The lungs are clear.",
+             ["Reviewed by A. Jones.", "The lungs are clear."]),
+            # numbered list: marker stays attached to its item
+            ("1. No acute disease. 2. Stable cardiomegaly.",
+             ["1. No acute disease.", "2. Stable cardiomegaly."]),
+            # sentence not ending in '.': trailing fragment kept
+            ("The heart is normal. No effusion",
+             ["The heart is normal.", "No effusion"]),
+            # lowercase continuation: no split (documented approximation)
+            ("Heart size is normal. the lungs are clear.",
+             ["Heart size is normal. the lungs are clear."]),
+            # ! and ? terminators, parenthesized sentence start
+            ("No pneumothorax! (Prior effusion resolved.) Heart normal.",
+             ["No pneumothorax!", "(Prior effusion resolved.)",
+              "Heart normal."]),
+        ]
+        for text, want in cases:
+            assert split_sentences(text) == want, text
+
     def test_exact_dedup_order_preserving(self):
         out = remove_duplicate_sentences(["A b.", "C d.", "A b.", "E f."])
         assert out == ["A b.", "C d.", "E f."]

@@ -185,6 +185,35 @@ class TestTrainStep:
         bs1 = np.asarray(p1["detector"]["batch_stats"]["backbone"]["bn1"]["mean"])
         assert not np.array_equal(bs0, bs1)
 
+    def test_validation_losses_eval_mode(self):
+        """compute_losses(train=False) must have torch eval() semantics
+        (VERDICT r2 #2, reference custom_rpn.py:14-24 +
+        training_script_object_detector.py:210-286): deterministic for a
+        fixed rng (dropout off), no batch_stats mutation, and different
+        from the train-mode losses for the same rng."""
+        model = RGRG(cfg=TRAIN_CFG)
+        tcfg = TrainConfig(grad_accumulation_steps=1)
+        params = model.init(jax.random.PRNGKey(0))
+        batch = _batch()
+        rng = jax.random.PRNGKey(1)
+
+        t1, l1, s1 = trainer.compute_losses(model, params, batch, rng, 3,
+                                            tcfg, 16, train=False)
+        t2, l2, s2 = trainer.compute_losses(model, params, batch, rng, 3,
+                                            tcfg, 16, train=False)
+        assert s1 is None and s2 is None, "eval mode must not touch batch_stats"
+        assert float(t1) == float(t2)
+        for k in l1:
+            assert float(l1[k]) == float(l2[k]), k
+
+        t3, l3, s3 = trainer.compute_losses(model, params, batch, rng, 3,
+                                            tcfg, 16, train=True)
+        assert s3 is not None
+        # dropout (LM) and BN batch-mode + train RPN top-n (detector) make
+        # train-mode losses differ from eval-mode for the same rng
+        assert float(l3["loss_lm"]) != float(l1["loss_lm"])
+        assert float(t3) != float(t1)
+
     def test_stage1_detector_only(self):
         model = RGRG(cfg=TRAIN_CFG)
         tcfg = TrainConfig(grad_accumulation_steps=1)
