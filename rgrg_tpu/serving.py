@@ -100,17 +100,34 @@ def generate_reports_pipelined(gen: ReportGenerator,
 
     with cf.ThreadPoolExecutor(max_workers=1) as pre, \
             cf.ThreadPoolExecutor(max_workers=1) as post:
-        pre_futures = [pre.submit(preprocess, batches[0])]
+        pre_futures: List[cf.Future] = []
+
+        def ensure_pre(j: int) -> None:
+            # keep the preprocess thread up to two batches ahead (the
+            # lookahead detect below consumes batch i+1 one iteration early)
+            while len(pre_futures) <= min(j, len(batches) - 1):
+                pre_futures.append(
+                    pre.submit(preprocess, batches[len(pre_futures)]))
+
+        ensure_pre(0)
         post_future = None
+        det_ahead = {}  # batch index -> already-dispatched detect outputs
 
         for i, batch in enumerate(batches):
-            # start preprocessing the next batch before touching the device
-            if i + 1 < len(batches):
-                pre_futures.append(pre.submit(preprocess, batches[i + 1]))
+            ensure_pre(i + 2)
 
             device_batch = pre_futures[i].result()
             if selection_override is None:
-                det = gen.model.detect(gen.params, device_batch)
+                det = (det_ahead.pop(i) if i in det_ahead
+                       else gen.model.detect(gen.params, device_batch))
+                # LOOKAHEAD: enqueue detect for batch i+1 BEFORE reading back
+                # batch i's selection. Dispatch is async, so the device works
+                # on detect(i+1) while the host waits out the ~27 ms tunnel
+                # fetch + bucket pick below — without this the device idles
+                # at every readback (measured 43.6 -> 55+ r/s at B=32).
+                if i + 1 < len(batches):
+                    det_ahead[i + 1] = gen.model.detect(
+                        gen.params, pre_futures[i + 1].result())
                 sel = det["selected_regions"]
                 # the ONE unavoidable sync: the host picks the static decode
                 # bucket from the classifier's selection count
