@@ -87,6 +87,13 @@ def main():
                          "small synthetic batches diverge at 1e-3)")
     ap.add_argument("--shallow", action="store_true",
                     help="shallow backbone + CPU (smoke test of this script)")
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax checkpoint dir (e.g. the three-stage "
+                         "rehearsal's stage2/last): certify ITS trained "
+                         "detector instead of training one here")
+    ap.add_argument("--time-detect", type=int, default=0, metavar="B",
+                    help="also time detect at batch B: budget None vs the "
+                         "smallest safe budget (quantifies the serving win)")
     args = ap.parse_args()
 
     if args.shallow:
@@ -106,24 +113,36 @@ def main():
     tcfg = TrainConfig(batch_size=args.batch, grad_accumulation_steps=1)
 
     rng = np.random.default_rng(0)
-    state, optimizer = TR.init_train_state(
-        model, jax.random.PRNGKey(0), tcfg, stage=1, learning_rate=args.lr)
-    step_fn = TR.make_train_step(model, tcfg, optimizer, stage=1)
+    if args.ckpt:
+        from rgrg_tpu.core.checkpoint import load_checkpoint
+        restored = load_checkpoint(args.ckpt)
+        params = restored["params"] if "params" in restored else restored
+        params = {"detector": jax.tree.map(jnp.asarray, params["detector"]),
+                  # the decoder subtree is never touched by detect; keep the
+                  # script's tiny random one so cfg and tree stay consistent
+                  "decoder": model.init(jax.random.PRNGKey(0))["decoder"]}
+        print(f"certifying trained detector from {args.ckpt}", file=sys.stderr)
+    else:
+        state, optimizer = TR.init_train_state(
+            model, jax.random.PRNGKey(0), tcfg, stage=1, learning_rate=args.lr)
+        step_fn = TR.make_train_step(model, tcfg, optimizer, stage=1)
 
-    print(f"training stage-1 on synthetic 29-region corpus, "
-          f"{args.steps} steps @ batch {args.batch}", file=sys.stderr)
-    t0 = time.time()
-    key = jax.random.PRNGKey(1)
-    for i in range(args.steps):
-        batch = synth_batch(rng, args.batch)
-        key, sub = jax.random.split(key)
-        state, losses = step_fn(state, batch, sub)
-        if i % 25 == 0 or i == args.steps - 1:
-            ls = {k: round(float(v), 4) for k, v in losses.items()}
-            print(f"  step {i}: {ls} ({time.time()-t0:.0f}s)", file=sys.stderr)
+        print(f"training stage-1 on synthetic 29-region corpus, "
+              f"{args.steps} steps @ batch {args.batch}", file=sys.stderr)
+        t0 = time.time()
+        key = jax.random.PRNGKey(1)
+        for i in range(args.steps):
+            batch = synth_batch(rng, args.batch)
+            key, sub = jax.random.split(key)
+            state, losses = step_fn(state, batch, sub)
+            if i % 25 == 0 or i == args.steps - 1:
+                ls = {k: round(float(v), 4) for k, v in losses.items()}
+                print(f"  step {i}: {ls} ({time.time()-t0:.0f}s)",
+                      file=sys.stderr)
+        params = state.params
 
     det = model.detector
-    variables = state.params["detector"]
+    variables = params["detector"]
 
     # ---- survivor counts: how many post-NMS proposals actually survive ----
     @jax.jit
@@ -135,12 +154,14 @@ def main():
         return jnp.sum(keep, axis=1)
 
     # ---- budget-equivalence of the full detection output ----
-    def detect_with(budget, images):
+    def model_with(budget):
         dcfg = dataclasses.replace(
             cfg.detector, roi=dataclasses.replace(
                 cfg.detector.roi, inference_proposal_budget=budget))
-        m = RGRG(cfg=dataclasses.replace(cfg, detector=dcfg))
-        return m.detect(state.params, images)
+        return RGRG(cfg=dataclasses.replace(cfg, detector=dcfg))
+
+    def detect_with(budget, images):
+        return model_with(budget).detect(params, images)
 
     counts, agreements = [], {b: {"boxes": [], "cls": []} for b in args.budgets}
     for _ in range(args.eval_batches):
@@ -170,6 +191,24 @@ def main():
             if summary["budget_agreement"][str(b)]["class_detected_identical"]
             and summary["budget_agreement"][str(b)]["max_box_delta_px"] < 1e-3]
     summary["smallest_safe_budget_tested"] = safe[0] if safe else None
+
+    if args.time_detect and safe:
+        B = args.time_detect
+        images = synth_batch(rng, B)["images"]
+        timing = {}
+        for budget in (None, safe[0]):
+            m = model_with(budget)
+            m.detect(params, images)["class_detected"].block_until_ready()
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = m.detect(params, images)
+            out["class_detected"].block_until_ready()
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            timing["unbudgeted" if budget is None else f"budget_{budget}"] = \
+                round(ms, 1)
+        summary[f"detect_ms_at_B{B}"] = timing
+
     print(json.dumps(summary, indent=2))
     if args.out:
         with open(args.out, "w") as f:
