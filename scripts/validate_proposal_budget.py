@@ -176,7 +176,7 @@ def main():
                 out["class_detected"] == ref["class_detected"])))
 
     summary = {
-        "steps": args.steps,
+        ("ckpt" if args.ckpt else "steps"): args.ckpt or args.steps,
         "post_nms_capacity": int(cfg.detector.rpn.post_nms_top_n_test),
         "survivors_max": int(max(counts)),
         "survivors_mean": round(float(np.mean(counts)), 1),
