@@ -210,11 +210,12 @@ def bench_product_path(model, params):
         return n
 
     run(raw[:BATCH], override[:BATCH])       # warmup / compile
-    # best of 3: the tunneled TPU's per-op latency is volatile (the same
-    # code measured 15-40 r/s across runs); the max is the least-noisy
-    # estimate of the pipeline's capability
+    # best of 5: the tunneled TPU's per-op latency is volatile and single
+    # device_get calls occasionally STALL for tens of seconds (measured a
+    # 45.8 s fetch amid 0.25 s siblings); the max over 5 runs is the
+    # least-noisy estimate of the pipeline's capability
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         n = run(raw, override)
         best = max(best, n / (time.perf_counter() - t0))
@@ -273,7 +274,7 @@ def bench_product_classifier_driven(model, params):
 
     run(raw[:BATCH])  # warmup/compile of the recalibrated detect graph
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         n = run(raw)
         best = max(best, n / (time.perf_counter() - t0))
@@ -314,7 +315,7 @@ def bench_beam4_product(model, params, batch=None):
 
     run(raw[:batch], override[:batch])  # warmup / compile
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         n = run(raw, override)
         best = max(best, n / (time.perf_counter() - t0))
