@@ -36,10 +36,17 @@ from rgrg_tpu.models.full_model import RGRG
 from rgrg_tpu.serving import generate_reports_pipelined
 from rgrg_tpu.text.tokenizer import GPT2Tokenizer
 
-BATCH = 32              # 32 x 6 regions = 192 rows fills the 192 decode
-                        # bucket EXACTLY (24 x 6 = 144 rows pad to the same
-                        # 192 budget: 33% wasted decode) — measured 110 vs
-                        # 95 reports/s on the device path
+BATCH = 32              # device-path batch: 32 x 6 regions = 192 rows fills
+                        # the 192 decode bucket EXACTLY (24 x 6 = 144 rows
+                        # pad to the same 192 budget: 33% wasted decode) —
+                        # measured 110 vs 95 reports/s on the device path
+PRODUCT_BATCH = 64      # product-path batch: 384 rows = exact bucket; the
+                        # fused step scales SUB-linearly (0.30 s at B=32 ->
+                        # 0.50 s at B=64: decode param reads amortize) while
+                        # per-batch tunnel overhead is fixed — measured 65
+                        # r/s at B=32 vs 81 at B=64 with device resize.
+                        # B=128 (768 rows) OOMs HBM in the detector.
+PRODUCT_IMAGES = PRODUCT_BATCH * 4
 REGIONS_PER_IMAGE = 6
 SENT_TOKENS = 60
 BEAM_BATCH = 8          # round-1 beam comparison point (STATUS.md)
@@ -105,9 +112,18 @@ def certify_budget(model, params):
     gen.model = model
     rng = np.random.default_rng(0)
     raw = [rng.integers(0, 255, (700, 600)).astype(np.uint8)
-           for _ in range(BATCH * 4)]
-    batches = [gen.preprocess(raw[i:i + BATCH])
+           for _ in range(PRODUCT_IMAGES)]
+    # certify on the device-resize pixels (ops/resize.py) — the exact pixels
+    # serving feeds the detector (host preprocess differs by one uint8 quant
+    # step on a vanishing pixel fraction; certification must match serving);
+    # certification chunks stay at 32 to bound detector HBM
+    from rgrg_tpu.ops.resize import device_preprocess
+    u8_mats = [gen.preprocess_raw(raw[i:i + BATCH])
                for i in range(0, len(raw), BATCH)]
+    dtype = jnp.bfloat16 if model.cfg.detector.dtype == "bfloat16" \
+        else jnp.float32
+    batches = [jax.jit(device_preprocess, static_argnames=("out_dtype",))(
+        u8, wy, wx, out_dtype=dtype) for u8, (wy, wx) in u8_mats]
 
     @jax.jit
     def survivors(images):
@@ -194,7 +210,7 @@ def bench_product_path(model, params):
     gen.threshold = 0.9
 
     rng = np.random.default_rng(0)
-    n_images = BATCH * 4
+    n_images = PRODUCT_IMAGES
     raw = [rng.integers(0, 255, (700, 600)).astype(np.uint8)
            for _ in range(n_images)]
     override = np.zeros((n_images, 29), bool)
@@ -203,13 +219,13 @@ def bench_product_path(model, params):
     def run(images_subset, override_subset):
         n = 0
         for reports in generate_reports_pipelined(
-                gen, images_subset, batch_size=BATCH, num_beams=1,
+                gen, images_subset, batch_size=PRODUCT_BATCH, num_beams=1,
                 max_length=SENT_TOKENS, selection_override=override_subset):
             n += len(reports)
             assert all(isinstance(r.report, str) for r in reports)
         return n
 
-    run(raw[:BATCH], override[:BATCH])       # warmup / compile
+    run(raw[:PRODUCT_BATCH], override[:PRODUCT_BATCH])  # warmup / compile
     # best of 5: the tunneled TPU's per-op latency is volatile and single
     # device_get calls occasionally STALL for tens of seconds (measured a
     # 45.8 s fetch amid 0.25 s siblings); the max over 5 runs is the
@@ -246,7 +262,7 @@ def bench_product_classifier_driven(model, params):
     gen.threshold = 0.9
 
     rng = np.random.default_rng(0)
-    n_images = BATCH * 4
+    n_images = PRODUCT_IMAGES
     raw = [rng.integers(0, 255, (700, 600)).astype(np.uint8)
            for _ in range(n_images)]
 
@@ -267,12 +283,12 @@ def bench_product_classifier_driven(model, params):
     def run(images_subset):
         n = 0
         for reports in generate_reports_pipelined(
-                gen, images_subset, batch_size=BATCH, num_beams=1,
+                gen, images_subset, batch_size=PRODUCT_BATCH, num_beams=1,
                 max_length=SENT_TOKENS, selection_override=None):
             n += len(reports)
         return n
 
-    run(raw[:BATCH])  # warmup/compile of the recalibrated detect graph
+    run(raw[:PRODUCT_BATCH])  # warmup/compile of the recalibrated graph
     best = 0.0
     for _ in range(5):
         t0 = time.perf_counter()

@@ -97,6 +97,33 @@ class ReportGenerator:
                              else transfer_dtype)
         return jnp.asarray(out)
 
+    def _resize_mats(self, shape):
+        """Per-input-shape (wy, wx) device-resize matrices, built once on
+        the host (ops/resize.py) and kept on device across batches."""
+        cache = getattr(self, "_resize_cache", None)
+        if cache is None:
+            cache = self._resize_cache = {}
+        if shape not in cache:
+            from rgrg_tpu.ops.resize import resize_matrices
+            wy, wx = resize_matrices(shape[0], shape[1],
+                                     self.model.cfg.detector.image_size)
+            cache[shape] = (jnp.asarray(wy), jnp.asarray(wx))
+        return cache[shape]
+
+    def preprocess_raw(self, images: Sequence[Union[str, np.ndarray]]):
+        """Device-resize fast path: paths or uint8 arrays ->
+        (raw [B, H, W] uint8 on device, (wy, wx)) when the whole batch
+        shares one shape; None otherwise (caller falls back to the host
+        pipeline). Shrinks the 1-core host's per-batch work to a uint8
+        np.stack and moves resize+pad+normalize onto the MXU."""
+        arrays = [T.load_image(im) if isinstance(im, str) else im
+                  for im in images]
+        shape = arrays[0].shape
+        if any(a.shape != shape or a.dtype != np.uint8 or a.ndim != 2
+               for a in arrays):
+            return None
+        return jnp.asarray(np.stack(arrays)), self._resize_mats(shape)
+
     def generate_reports(self, images: Sequence[Union[str, np.ndarray]],
                          num_beams: Optional[int] = None,
                          max_length: Optional[int] = None,

@@ -57,9 +57,32 @@ class RGRG:
 
     # ---------------- jitted stages ----------------
 
+    def _prepare_images(self, images: jnp.ndarray,
+                        resize_mats) -> jnp.ndarray:
+        """Raw-uint8 [B, H, W] + per-shape resize matrices -> normalized
+        NHWC in the detector's compute dtype (ops/resize.py); already-
+        preprocessed inputs pass through (with the serving bf16-upload
+        cast when the detector computes in f32)."""
+        if resize_mats is not None:
+            from rgrg_tpu.ops.resize import device_preprocess
+            wy, wx = resize_mats
+            out_dtype = (jnp.bfloat16
+                         if self.cfg.detector.dtype == "bfloat16"
+                         else jnp.float32)
+            return device_preprocess(images, wy, wx, out_dtype=out_dtype)
+        if (images.dtype == jnp.bfloat16
+                and self.cfg.detector.dtype == "float32"):
+            images = images.astype(jnp.float32)
+        return images
+
     @functools.partial(jax.jit, static_argnames=("self",))
-    def detect(self, params: Dict[str, Any], images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """images: [B, H, W, 1] normalized NHWC. Detector + classifier heads."""
+    def detect(self, params: Dict[str, Any], images: jnp.ndarray,
+               resize_mats=None) -> Dict[str, jnp.ndarray]:
+        """images: [B, H, W, 1] normalized NHWC — or raw [B, H, W] uint8
+        when `resize_mats` (wy, wx) is given, in which case resize + pad +
+        normalize run on device as part of this graph (the host's only
+        per-batch work is a uint8 np.stack; see ops/resize.py)."""
+        images = self._prepare_images(images, resize_mats)
         return self.detector.apply(
             params["detector"], images, train=False,
             logit_threshold=self.cfg.classifier.logit_threshold)
@@ -131,8 +154,8 @@ class RGRG:
     def detect_and_decode(self, params: Dict[str, Any], images: jnp.ndarray,
                           selected_regions: jnp.ndarray, r_budget: int,
                           max_length: int, precision=None, num_beams: int = 1,
-                          early_stopping: bool = False, kv_cache_dtype=None
-                          ) -> Dict[str, jnp.ndarray]:
+                          early_stopping: bool = False, kv_cache_dtype=None,
+                          resize_mats=None) -> Dict[str, jnp.ndarray]:
         """One-dispatch serving step: detector + budgeted decode as a SINGLE
         jitted graph. On a tunneled TPU every dispatch costs a host-device
         roundtrip serialized with compute (~27 ms here); the serving
@@ -140,11 +163,10 @@ class RGRG:
         classifier readback between the stages, so it fuses them. The
         classifier-driven path still runs detect -> budget readback ->
         decode as two calls. Images may be bf16 (the serving upload dtype
-        when the detector computes in bf16) or f32.
+        when the detector computes in bf16) or f32 — or raw [B, H, W]
+        uint8 with `resize_mats` (preprocessing joins the fused graph).
         """
-        if (images.dtype == jnp.bfloat16
-                and self.cfg.detector.dtype == "float32"):
-            images = images.astype(jnp.float32)
+        images = self._prepare_images(images, resize_mats)
         det = self.detect(params, images)  # nested jit inlines
         ids, decoded = self.decode_selected(
             params, det["region_features"], selected_regions, r_budget,

@@ -63,6 +63,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                early_stopping: bool = True,
                                selection_override: Optional[np.ndarray] = None,
                                kv_cache_dtype="int8",
+                               device_resize: bool = True,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -70,7 +71,12 @@ def generate_reports_pipelined(gen: ReportGenerator,
     of the classifier's selection (see RGRG.generate).
     kv_cache_dtype: serving default "int8" (halves-to-quarters decode cache
     traffic; verified within tolerance vs the f32 path in
-    tests/test_int8_cache.py); pass None for the parameter-dtype cache."""
+    tests/test_int8_cache.py); pass None for the parameter-dtype cache.
+    device_resize: when a batch's images share one shape, upload raw uint8
+    and run resize+pad+normalize inside the detect graph (ops/resize.py) —
+    the 1-core host's C++ preprocess (~6 ms/image) was the product-path
+    bottleneck once the TPU step was fused. Mixed-shape batches fall back
+    to the host pipeline automatically."""
     import jax.numpy as jnp
     if kv_cache_dtype is None or kv_cache_dtype == "int8":
         kv = {"int8": jnp.int8, None: None}[kv_cache_dtype]
@@ -95,6 +101,10 @@ def generate_reports_pipelined(gen: ReportGenerator,
     bf16_upload = gen.model.cfg.detector.dtype == "bfloat16"
 
     def preprocess(batch):
+        if device_resize:
+            raw = gen.preprocess_raw(batch)
+            if raw is not None:
+                return raw  # (uint8 [B, H, W] on device, (wy, wx))
         return gen.preprocess(
             batch, transfer_dtype=jnp.bfloat16 if bf16_upload else None)
 
@@ -116,18 +126,23 @@ def generate_reports_pipelined(gen: ReportGenerator,
         for i, batch in enumerate(batches):
             ensure_pre(i + 2)
 
-            device_batch = pre_futures[i].result()
+            pre_out = pre_futures[i].result()
+            device_batch, mats = (pre_out if isinstance(pre_out, tuple)
+                                  else (pre_out, None))
             if selection_override is None:
                 det = (det_ahead.pop(i) if i in det_ahead
-                       else gen.model.detect(gen.params, device_batch))
+                       else gen.model.detect(gen.params, device_batch, mats))
                 # LOOKAHEAD: enqueue detect for batch i+1 BEFORE reading back
                 # batch i's selection. Dispatch is async, so the device works
                 # on detect(i+1) while the host waits out the ~27 ms tunnel
                 # fetch + bucket pick below — without this the device idles
                 # at every readback (measured 43.6 -> 55+ r/s at B=32).
                 if i + 1 < len(batches):
+                    nxt = pre_futures[i + 1].result()
+                    nxt_imgs, nxt_mats = (nxt if isinstance(nxt, tuple)
+                                          else (nxt, None))
                     det_ahead[i + 1] = gen.model.detect(
-                        gen.params, pre_futures[i + 1].result())
+                        gen.params, nxt_imgs, nxt_mats)
                 sel = det["selected_regions"]
                 # the ONE unavoidable sync: the host picks the static decode
                 # bucket from the classifier's selection count
@@ -158,7 +173,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 out = gen.model.detect_and_decode(
                     gen.params, device_batch, sel, r_budget, max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
-                    kv_cache_dtype=kv)
+                    kv_cache_dtype=kv, resize_mats=mats)
                 device_out = {
                     "output_ids": out["output_ids"],
                     "decoded_mask": out["decoded_mask"],

@@ -1,0 +1,71 @@
+"""Device-preprocess (ops/resize.py) vs the host pipeline oracle.
+
+The device path reproduces native/preprocess.cc (resize -> uint8-domain
+round -> center pad -> normalize) as two HIGHEST-precision dot_generals.
+The only admissible divergence is f32 summation order inside the dots,
+visible solely when a pre-round value sits within ~1e-5 of an exact .5
+boundary — so outputs must match the host pipeline everywhere except a
+vanishing fraction of pixels, and any differing pixel by exactly one
+uint8 quantization step.
+"""
+
+import numpy as np
+import pytest
+
+from rgrg_tpu.core import constants as C
+from rgrg_tpu.data.native import native_available, preprocess_batch
+from rgrg_tpu.ops.resize import device_preprocess, resize_matrices
+
+QUANT = 1.0 / (C.IMAGE_STD * 255.0)  # one uint8 step after normalization
+
+SHAPES = [
+    (700, 600),    # downscale, both axes (bench serving shape)
+    (300, 200),    # upscale (bilinear path)
+    (512, 512),    # identity
+    (1024, 256),   # extreme aspect: wide pad
+    (513, 511),    # off-by-one around the target size
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES, ids=[f"{h}x{w}" for h, w in SHAPES])
+def test_device_matches_host_pipeline(shape):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    imgs = rng.integers(0, 256, (3, *shape), dtype=np.uint8)
+
+    host = preprocess_batch(list(imgs))                     # [B,512,512,1] f32
+    wy, wx = resize_matrices(*shape)
+    dev = np.asarray(device_preprocess(imgs, wy, wx))
+
+    diff = np.abs(dev - host)
+    assert diff.max() <= QUANT * 1.001, diff.max()
+    mismatch = (diff > QUANT * 1e-3).mean()
+    assert mismatch < 1e-3, f"{mismatch:.2e} of pixels off by a quant step"
+
+
+def test_weight_rows_sum_to_one_inside_window():
+    wy, wx = resize_matrices(700, 600)
+    # resized window rows/cols sum to 1; pad rows/cols are exactly zero
+    row_sums = wy.sum(axis=1)
+    inside = row_sums > 0.5
+    np.testing.assert_allclose(row_sums[inside], 1.0, atol=1e-6)
+    assert np.all(wy[~inside] == 0.0)
+    col_sums = wx.sum(axis=0)
+    inside = col_sums > 0.5
+    np.testing.assert_allclose(col_sums[inside], 1.0, atol=1e-6)
+
+
+@pytest.mark.skipif(not native_available(),
+                    reason="native library not built (make -C native)")
+def test_area_weights_match_native_unrounded():
+    """Wy @ img @ Wx (pre-round) vs the C++ separable area resize."""
+    from rgrg_tpu.data.native import resize_area
+    from rgrg_tpu.ops.resize import _area_axis_weights
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (700, 600), dtype=np.uint8)
+    dh, dw = 512, 439  # the (700, 600) longest-max-size target
+    native = resize_area(img, dh, dw)
+    wy = _area_axis_weights(700, dh)
+    wx = _area_axis_weights(600, dw)
+    ours = wy @ img.astype(np.float32) @ wx.T
+    np.testing.assert_allclose(ours, native, atol=2e-3)

@@ -70,6 +70,26 @@ def test_pipelined_selection_override(setup):
             if i in (0, 3, 7)}
 
 
+def test_device_resize_matches_host_preprocess(setup):
+    """The uint8 device-resize path (ops/resize.py) vs the host C++/cv2
+    pipeline, end to end through serving: identical reports (differences
+    would need a pixel to land within f32-summation-order distance of a
+    uint8 rounding boundary AND flip a detection/token — vanishing)."""
+    gen, paths = setup
+    kwargs = dict(batch_size=2, num_beams=1, max_length=6,
+                  kv_cache_dtype=None)
+    dev = [r for chunk in generate_reports_pipelined(
+        gen, paths, device_resize=True, **kwargs) for r in chunk]
+    host = [r for chunk in generate_reports_pipelined(
+        gen, paths, device_resize=False, **kwargs) for r in chunk]
+    assert len(dev) == len(host) == 5
+    for a, b in zip(dev, host):
+        assert a.report == b.report
+        np.testing.assert_array_equal(a.selected_regions, b.selected_regions)
+        np.testing.assert_allclose(a.top_region_boxes, b.top_region_boxes,
+                                   atol=0.5)
+
+
 def test_generate_selection_override(setup):
     gen, _ = setup
     import jax.numpy as jnp
