@@ -53,6 +53,8 @@ BEAM_BATCH = 8          # round-1 beam comparison point (STATUS.md)
 BEAM_PRODUCT_BATCH = 32  # beam-4 product batch. B sweep (r3, decode path):
                         # B8 17.8, B16 18.7, B32 18.8 r/s — an XLA plateau,
                         # so take the largest B (best tunnel amortization).
+                        # B=64 OOMs HBM: the per-layer beam cache
+                        # [16,1536,61,64] tile-pads 2.1x.
 BEAM_PRODUCT_KV = "bf16"  # at B=32 the int8 cache craters beam to 10.4 r/s
                         # (dequant materialization scales with the 192-row
                         # budget) while bf16 holds 18.8; int8==bf16 at B<=16

@@ -42,6 +42,22 @@ def test_device_matches_host_pipeline(shape):
     assert mismatch < 1e-3, f"{mismatch:.2e} of pixels off by a quant step"
 
 
+def test_device_matches_host_fuzz_shapes():
+    """Random source shapes across the downscale/upscale/identity regimes
+    (CXR plates range from few-hundred-px crops to 3000+-px panels)."""
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        h = int(rng.integers(96, 1600))
+        w = int(rng.integers(96, 1600))
+        img = rng.integers(0, 256, (1, h, w), dtype=np.uint8)
+        host = preprocess_batch(list(img))
+        wy, wx = resize_matrices(h, w)
+        dev = np.asarray(device_preprocess(img, wy, wx))
+        diff = np.abs(dev - host)
+        assert diff.max() <= QUANT * 1.001, (h, w, diff.max())
+        assert (diff > QUANT * 1e-3).mean() < 1e-3, (h, w)
+
+
 def test_weight_rows_sum_to_one_inside_window():
     wy, wx = resize_matrices(700, 600)
     # resized window rows/cols sum to 1; pad rows/cols are exactly zero
