@@ -75,17 +75,37 @@ class RGRG:
             images = images.astype(jnp.float32)
         return images
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self", "image_chunk"))
     def detect(self, params: Dict[str, Any], images: jnp.ndarray,
-               resize_mats=None) -> Dict[str, jnp.ndarray]:
+               resize_mats=None,
+               image_chunk: Optional[int] = None) -> Dict[str, jnp.ndarray]:
         """images: [B, H, W, 1] normalized NHWC — or raw [B, H, W] uint8
         when `resize_mats` (wy, wx) is given, in which case resize + pad +
         normalize run on device as part of this graph (the host's only
-        per-batch work is a uint8 np.stack; see ops/resize.py)."""
+        per-batch work is a uint8 np.stack; see ops/resize.py).
+
+        image_chunk: run the detector over sub-batches of this size via
+        lax.map (sequential, buffers reused across iterations) so peak
+        detector HBM is bounded by one chunk's activations. This unlocks
+        batch sizes whose DECODE bucket amortizes well but whose detector
+        activations OOM when materialized at full batch (B=128 with
+        chunk 32 on v5e; unchunked B=128 OOMs). Applied only when it
+        divides the batch evenly; numerics are identical (per-image math).
+        """
         images = self._prepare_images(images, resize_mats)
-        return self.detector.apply(
-            params["detector"], images, train=False,
-            logit_threshold=self.cfg.classifier.logit_threshold)
+
+        def _fwd(im):
+            return self.detector.apply(
+                params["detector"], im, train=False,
+                logit_threshold=self.cfg.classifier.logit_threshold)
+
+        b = images.shape[0]
+        if image_chunk and image_chunk < b and b % image_chunk == 0:
+            stacked = images.reshape((b // image_chunk, image_chunk)
+                                     + images.shape[1:])
+            out = jax.lax.map(_fwd, stacked)
+            return jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), out)
+        return _fwd(images)
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
@@ -150,12 +170,14 @@ class RGRG:
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
-        "early_stopping", "kv_cache_dtype"))
+        "early_stopping", "kv_cache_dtype", "image_chunk"))
     def detect_and_decode(self, params: Dict[str, Any], images: jnp.ndarray,
                           selected_regions: jnp.ndarray, r_budget: int,
                           max_length: int, precision=None, num_beams: int = 1,
                           early_stopping: bool = False, kv_cache_dtype=None,
-                          resize_mats=None) -> Dict[str, jnp.ndarray]:
+                          resize_mats=None,
+                          image_chunk: Optional[int] = None
+                          ) -> Dict[str, jnp.ndarray]:
         """One-dispatch serving step: detector + budgeted decode as a SINGLE
         jitted graph. On a tunneled TPU every dispatch costs a host-device
         roundtrip serialized with compute (~27 ms here); the serving
@@ -166,8 +188,8 @@ class RGRG:
         when the detector computes in bf16) or f32 — or raw [B, H, W]
         uint8 with `resize_mats` (preprocessing joins the fused graph).
         """
-        images = self._prepare_images(images, resize_mats)
-        det = self.detect(params, images)  # nested jit inlines
+        det = self.detect(params, images, resize_mats,
+                          image_chunk=image_chunk)  # nested jit inlines
         ids, decoded = self.decode_selected(
             params, det["region_features"], selected_regions, r_budget,
             max_length, precision=precision, num_beams=num_beams,

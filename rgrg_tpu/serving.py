@@ -64,6 +64,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                selection_override: Optional[np.ndarray] = None,
                                kv_cache_dtype="int8",
                                device_resize: bool = True,
+                               detect_image_chunk: Optional[int] = None,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -76,7 +77,11 @@ def generate_reports_pipelined(gen: ReportGenerator,
     and run resize+pad+normalize inside the detect graph (ops/resize.py) —
     the 1-core host's C++ preprocess (~6 ms/image) was the product-path
     bottleneck once the TPU step was fused. Mixed-shape batches fall back
-    to the host pipeline automatically."""
+    to the host pipeline automatically.
+    detect_image_chunk: bound peak detector HBM by running the detector
+    over lax.map'd sub-batches of this size inside the same graph — lets
+    batch_size exceed the detector's OOM point (B=128 on v5e) so the
+    decode bucket amortizes further. Identical numerics."""
     import jax.numpy as jnp
     if kv_cache_dtype is None or kv_cache_dtype == "int8":
         kv = {"int8": jnp.int8, None: None}[kv_cache_dtype]
@@ -131,7 +136,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                   else (pre_out, None))
             if selection_override is None:
                 det = (det_ahead.pop(i) if i in det_ahead
-                       else gen.model.detect(gen.params, device_batch, mats))
+                       else gen.model.detect(gen.params, device_batch, mats,
+                                             image_chunk=detect_image_chunk))
                 # LOOKAHEAD: enqueue detect for batch i+1 BEFORE reading back
                 # batch i's selection. Dispatch is async, so the device works
                 # on detect(i+1) while the host waits out the ~27 ms tunnel
@@ -142,7 +148,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     nxt_imgs, nxt_mats = (nxt if isinstance(nxt, tuple)
                                           else (nxt, None))
                     det_ahead[i + 1] = gen.model.detect(
-                        gen.params, nxt_imgs, nxt_mats)
+                        gen.params, nxt_imgs, nxt_mats,
+                        image_chunk=detect_image_chunk)
                 sel = det["selected_regions"]
                 # the ONE unavoidable sync: the host picks the static decode
                 # bucket from the classifier's selection count
@@ -173,7 +180,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 out = gen.model.detect_and_decode(
                     gen.params, device_batch, sel, r_budget, max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
-                    kv_cache_dtype=kv, resize_mats=mats)
+                    kv_cache_dtype=kv, resize_mats=mats,
+                    image_chunk=detect_image_chunk)
                 device_out = {
                     "output_ids": out["output_ids"],
                     "decoded_mask": out["decoded_mask"],

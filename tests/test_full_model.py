@@ -90,3 +90,35 @@ def test_end_to_end_generate_smoke():
     assert out["detections"]["top_region_boxes"].shape == (1, 29, 4)
     # decoded rows are exactly the selected ones (budget is always >= count)
     np.testing.assert_array_equal(out["decoded_mask"], out["selected_regions"])
+
+
+def test_detect_image_chunk_matches_unchunked():
+    """image_chunk runs the detector over lax.map'd sub-batches with
+    identical per-image math: every detect output must match the unchunked
+    forward exactly (same dtype path, just bounded peak memory)."""
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(2), (4, 512, 512, 1)) * 0.3
+    full = jax.device_get(model.detect(params, images))
+    chunked = jax.device_get(model.detect(params, images, image_chunk=2))
+    assert set(full) == set(chunked)
+    for k in full:
+        np.testing.assert_array_equal(full[k], chunked[k], err_msg=k)
+    # non-dividing / oversize chunk sizes fall back to the unchunked graph
+    odd = jax.device_get(model.detect(params, images, image_chunk=3))
+    for k in full:
+        np.testing.assert_array_equal(full[k], odd[k], err_msg=k)
+
+
+def test_detect_and_decode_image_chunk_matches():
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(3), (4, 512, 512, 1)) * 0.3
+    sel = np.zeros((4, 29), bool)
+    sel[:, [1, 4]] = True
+    sel = jnp.asarray(sel)
+    a = jax.device_get(model.detect_and_decode(params, images, sel, 8, 5))
+    b = jax.device_get(model.detect_and_decode(params, images, sel, 8, 5,
+                                               image_chunk=2))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
