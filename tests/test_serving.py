@@ -100,3 +100,25 @@ def test_generate_selection_override(setup):
                              selection_override=jnp.asarray(override))
     np.testing.assert_array_equal(out["selected_regions"], override)
     assert out["decoded_mask"][:, :4].all()
+
+
+def test_pipelined_detect_image_chunk_matches(setup):
+    """detect_image_chunk through the whole serving pipeline (both the
+    fused override branch and the classifier-driven branch) must be
+    report-identical to the unchunked pipeline."""
+    gen, paths = setup
+    kwargs = dict(batch_size=4, num_beams=1, max_length=6,
+                  kv_cache_dtype=None)
+    override = np.zeros((5, 29), bool)
+    override[:, [0, 3]] = True
+    for ovr in (None, override):
+        base = [r for chunk in generate_reports_pipelined(
+            gen, paths, selection_override=ovr, **kwargs) for r in chunk]
+        chunked = [r for chunk in generate_reports_pipelined(
+            gen, paths, selection_override=ovr, detect_image_chunk=2,
+            **kwargs) for r in chunk]
+        assert len(base) == len(chunked) == 5
+        for a, b in zip(base, chunked):
+            assert a.report == b.report
+            np.testing.assert_array_equal(a.selected_regions,
+                                          b.selected_regions)
