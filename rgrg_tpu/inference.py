@@ -78,14 +78,16 @@ class ReportGenerator:
     # -------------------- pipeline --------------------
 
     def preprocess(self, images: Sequence[Union[str, np.ndarray]],
-                   transfer_dtype=None) -> jnp.ndarray:
+                   transfer_dtype=None, sharding=None) -> jnp.ndarray:
         """Paths or grayscale arrays -> [B, 512, 512, 1] normalized batch.
 
         Uses the native C++ threaded pipeline (native/preprocess.cc) when
         built; falls back to the numpy/cv2 path. transfer_dtype: convert on
         the HOST before upload (serving passes bfloat16 when the detector
         computes in bf16 — numerically identical to uploading f32, half the
-        host->device traffic, and no extra on-device cast dispatch)."""
+        host->device traffic, and no extra on-device cast dispatch).
+        sharding: optional jax.sharding.Sharding for the uploaded batch
+        (data-parallel serving shards the leading dim over a mesh)."""
         arrays = [T.load_image(im) if isinstance(im, str) else im
                   for im in images]
         from rgrg_tpu.data.native import preprocess_batch
@@ -95,6 +97,8 @@ class ReportGenerator:
             out = out.astype(ml_dtypes.bfloat16
                              if transfer_dtype == jnp.bfloat16
                              else transfer_dtype)
+        if sharding is not None:
+            return jax.device_put(out, sharding)
         return jnp.asarray(out)
 
     def _resize_mats(self, shape):
@@ -110,19 +114,24 @@ class ReportGenerator:
             cache[shape] = (jnp.asarray(wy), jnp.asarray(wx))
         return cache[shape]
 
-    def preprocess_raw(self, images: Sequence[Union[str, np.ndarray]]):
+    def preprocess_raw(self, images: Sequence[Union[str, np.ndarray]],
+                       sharding=None):
         """Device-resize fast path: paths or uint8 arrays ->
         (raw [B, H, W] uint8 on device, (wy, wx)) when the whole batch
         shares one shape; None otherwise (caller falls back to the host
         pipeline). Shrinks the 1-core host's per-batch work to a uint8
-        np.stack and moves resize+pad+normalize onto the MXU."""
+        np.stack and moves resize+pad+normalize onto the MXU.
+        sharding: optional batch sharding for data-parallel serving."""
         arrays = [T.load_image(im) if isinstance(im, str) else im
                   for im in images]
         shape = arrays[0].shape
         if any(a.shape != shape or a.dtype != np.uint8 or a.ndim != 2
                for a in arrays):
             return None
-        return jnp.asarray(np.stack(arrays)), self._resize_mats(shape)
+        stacked = np.stack(arrays)
+        batch = (jax.device_put(stacked, sharding) if sharding is not None
+                 else jnp.asarray(stacked))
+        return batch, self._resize_mats(shape)
 
     def generate_reports(self, images: Sequence[Union[str, np.ndarray]],
                          num_beams: Optional[int] = None,

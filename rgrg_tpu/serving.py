@@ -65,6 +65,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                kv_cache_dtype="int8",
                                device_resize: bool = True,
                                detect_image_chunk: Optional[int] = None,
+                               mesh=None,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -81,7 +82,14 @@ def generate_reports_pipelined(gen: ReportGenerator,
     detect_image_chunk: bound peak detector HBM by running the detector
     over lax.map'd sub-batches of this size inside the same graph — lets
     batch_size exceed the detector's OOM point (B=128 on v5e) so the
-    decode bucket amortizes further. Identical numerics."""
+    decode bucket amortizes further. Identical numerics.
+    mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
+    are replicated once, image batches are uploaded batch-sharded over the
+    mesh's leading axis, and every jitted stage runs SPMD with XLA placing
+    the collectives on ICI (SURVEY.md §2.6: DP is the one parallelism this
+    workload needs). batch_size must be a multiple of mesh.size; a final
+    partial batch is padded to batch_size (reusing the compiled graph) and
+    the pad reports dropped."""
     import jax.numpy as jnp
     if kv_cache_dtype is None or kv_cache_dtype == "int8":
         kv = {"int8": jnp.int8, None: None}[kv_cache_dtype]
@@ -100,18 +108,33 @@ def generate_reports_pipelined(gen: ReportGenerator,
     if not batches:
         return
 
+    if mesh is not None:
+        if batch_size % mesh.size != 0:
+            raise ValueError(f"batch_size {batch_size} must be a multiple "
+                             f"of mesh.size {mesh.size}")
+        from rgrg_tpu.core import mesh as mesh_lib
+        params = mesh_lib.replicate_pytree(gen.params, mesh)
+        shard = mesh_lib.batch_sharded(mesh)
+    else:
+        params, shard = gen.params, None
+
     # upload in the detector's compute dtype: with bf16 detector compute the
     # first conv casts f32 inputs to bf16 anyway, so a bf16 upload is
     # numerically identical and halves the host->device image traffic
     bf16_upload = gen.model.cfg.detector.dtype == "bfloat16"
 
     def preprocess(batch):
+        if mesh is not None and len(batch) < batch_size:
+            # pad the final partial batch to the full size: keeps the
+            # compiled graph count at one and the shard divisible
+            batch = list(batch) + [batch[-1]] * (batch_size - len(batch))
         if device_resize:
-            raw = gen.preprocess_raw(batch)
+            raw = gen.preprocess_raw(batch, sharding=shard)
             if raw is not None:
                 return raw  # (uint8 [B, H, W] on device, (wy, wx))
         return gen.preprocess(
-            batch, transfer_dtype=jnp.bfloat16 if bf16_upload else None)
+            batch, transfer_dtype=jnp.bfloat16 if bf16_upload else None,
+            sharding=shard)
 
     with cf.ThreadPoolExecutor(max_workers=1) as pre, \
             cf.ThreadPoolExecutor(max_workers=1) as post:
@@ -136,7 +159,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                   else (pre_out, None))
             if selection_override is None:
                 det = (det_ahead.pop(i) if i in det_ahead
-                       else gen.model.detect(gen.params, device_batch, mats,
+                       else gen.model.detect(params, device_batch, mats,
                                              image_chunk=detect_image_chunk))
                 # LOOKAHEAD: enqueue detect for batch i+1 BEFORE reading back
                 # batch i's selection. Dispatch is async, so the device works
@@ -148,15 +171,19 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     nxt_imgs, nxt_mats = (nxt if isinstance(nxt, tuple)
                                           else (nxt, None))
                     det_ahead[i + 1] = gen.model.detect(
-                        gen.params, nxt_imgs, nxt_mats,
+                        params, nxt_imgs, nxt_mats,
                         image_chunk=detect_image_chunk)
                 sel = det["selected_regions"]
                 # the ONE unavoidable sync: the host picks the static decode
                 # bucket from the classifier's selection count
                 num_selected = int(np.asarray(sel).sum())
-                r_budget = gen.model.budget_for(num_selected, len(batch))
+                # mesh-padded final batch: pad rows (duplicate images) also
+                # select regions, so the cap uses the padded batch size;
+                # compaction is row-ordered, so real rows always fit first
+                r_budget = gen.model.budget_for(num_selected,
+                                                int(device_batch.shape[0]))
                 ids, decoded = gen.model.decode_selected(
-                    gen.params, det["region_features"], sel,
+                    params, det["region_features"], sel,
                     r_budget, max_length, num_beams=num_beams,
                     early_stopping=early_stopping, kv_cache_dtype=kv)
                 device_out = {
@@ -174,11 +201,15 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 # serialized with compute on a tunneled TPU
                 host_sel = selection_override[
                     i * batch_size:i * batch_size + len(batch)]
+                pad_b = int(device_batch.shape[0]) - len(batch)
+                if pad_b:  # mesh-padded final batch: pad rows select nothing
+                    host_sel = np.concatenate(
+                        [host_sel, np.zeros((pad_b, host_sel.shape[1]), bool)])
                 sel = jnp.asarray(host_sel)
                 r_budget = gen.model.budget_for(int(host_sel.sum()),
-                                                len(batch))
+                                                int(device_batch.shape[0]))
                 out = gen.model.detect_and_decode(
-                    gen.params, device_batch, sel, r_budget, max_length,
+                    params, device_batch, sel, r_budget, max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
                     kv_cache_dtype=kv, resize_mats=mats,
                     image_chunk=detect_image_chunk)

@@ -35,3 +35,52 @@ def test_sharded_detect_matches_single_device():
 def test_mesh_clamps_to_batch():
     mesh = mesh_lib.make_mesh(batch_size=3)
     assert mesh.size in (1, 3)
+
+
+def test_mesh_serving_matches_single_device(tmp_path):
+    """Data-parallel serving through the real pipeline: params replicated,
+    batches sharded over a 2-device mesh; reports identical to unsharded
+    serving, including a padded final partial batch (5 images, batch 4)."""
+    import cv2
+
+    from rgrg_tpu.inference import ReportGenerator
+    from rgrg_tpu.serving import generate_reports_pipelined
+    from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"i{i}.png")
+        cv2.imwrite(p, (np.random.default_rng(i).uniform(0, 255, (600, 500))
+                        ).astype(np.uint8))
+        paths.append(p)
+
+    kwargs = dict(batch_size=4, num_beams=1, max_length=6,
+                  kv_cache_dtype=None)
+    base = [r for chunk in generate_reports_pipelined(gen, paths, **kwargs)
+            for r in chunk]
+    mesh = mesh_lib.make_mesh(num_devices=2)
+    sharded = [r for chunk in generate_reports_pipelined(
+        gen, paths, mesh=mesh, **kwargs) for r in chunk]
+    assert len(base) == len(sharded) == 5
+    for a, b in zip(base, sharded):
+        assert a.report == b.report
+        np.testing.assert_array_equal(a.selected_regions, b.selected_regions)
+
+
+def test_mesh_serving_rejects_bad_batch_size():
+    import pytest as _pytest
+
+    from rgrg_tpu.inference import ReportGenerator
+    from rgrg_tpu.serving import generate_reports_pipelined
+    from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
+    mesh = mesh_lib.make_mesh(num_devices=3)
+    imgs = [np.zeros((64, 64), np.uint8)] * 4
+    with _pytest.raises(ValueError, match="multiple"):
+        list(generate_reports_pipelined(gen, imgs, batch_size=4, mesh=mesh))
