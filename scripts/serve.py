@@ -21,6 +21,13 @@ def main():
     ap.add_argument("--num-beams", type=int, default=1)
     ap.add_argument("--max-length", type=int, default=300)
     ap.add_argument("--output", default="generated_reports.txt")
+    ap.add_argument("--detect-image-chunk", type=int, default=None,
+                    help="run the detector over lax.map'd sub-batches of "
+                         "this size (bounds peak detector HBM; lets "
+                         "batch-size exceed the detector's OOM point)")
+    ap.add_argument("--data-parallel", type=int, default=None, metavar="N",
+                    help="shard batches over the first N devices "
+                         "(data-parallel serving; batch-size must divide)")
     args = ap.parse_args()
 
     from rgrg_tpu.inference import ReportGenerator, write_generated_reports_to_txt
@@ -36,10 +43,16 @@ def main():
     print(f"{len(images)} images")
     t0 = time.perf_counter()
     reports = []
+    mesh = None
+    if args.data_parallel:
+        from rgrg_tpu.core.mesh import make_mesh
+        mesh = make_mesh(num_devices=args.data_parallel)
     for chunk in generate_reports_pipelined(gen, images,
                                             batch_size=args.batch_size,
                                             num_beams=args.num_beams,
-                                            max_length=args.max_length):
+                                            max_length=args.max_length,
+                                            detect_image_chunk=args.detect_image_chunk,
+                                            mesh=mesh):
         reports.extend(chunk)
         done = len(reports)
         dt = time.perf_counter() - t0
