@@ -22,6 +22,11 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data",
     device count that divides the batch (sharding requires divisibility)."""
     devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices but only {len(devices)} "
+                f"available — a silently clamped mesh would misattribute "
+                f"throughput to parallelism that is not running")
         devices = devices[:num_devices]
     if batch_size is not None:
         n = len(devices)

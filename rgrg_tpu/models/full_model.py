@@ -110,7 +110,7 @@ class RGRG:
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
         "early_stopping", "kv_cache_dtype", "do_sample", "temperature",
-        "top_k", "top_p"))
+        "top_k", "top_p", "mesh"))
     def decode_selected(self, params: Dict[str, Any],
                         region_features: jnp.ndarray,
                         selected_regions: jnp.ndarray,
@@ -120,7 +120,8 @@ class RGRG:
                         kv_cache_dtype=None,
                         do_sample: bool = False, temperature: float = 1.0,
                         top_k: int = 0, top_p: float = 1.0,
-                        sample_rng: Optional[jax.Array] = None
+                        sample_rng: Optional[jax.Array] = None,
+                        mesh=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compact selected regions to r_budget rows, decode (greedy or
         beam), scatter back.
@@ -128,6 +129,13 @@ class RGRG:
         region_features: [B, 29, 1024]; selected_regions: [B, 29] bool.
         Returns (output_ids [B, 29, max_length], decoded_mask [B, 29]):
         decoded_mask marks regions whose row fit in the budget.
+
+        mesh: optional jax.sharding.Mesh (static). The compaction gather
+        mixes rows across the batch, so GSPMD's default resolution would
+        REPLICATE the compacted decode batch on every device of a
+        data-parallel serving mesh; constraining the compacted rows to the
+        mesh's leading axis keeps the decode loop itself sharded (requires
+        r_budget % mesh.size == 0 — DP serving rounds the budget up).
         """
         b = region_features.shape[0]
         flat_feats = region_features.reshape(b * C.NUM_REGIONS, -1)
@@ -137,6 +145,11 @@ class RGRG:
         idx = order[:r_budget]
         active = sel[idx]
         feats = flat_feats[idx]
+        if mesh is not None and r_budget % mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+            row_shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            feats = jax.lax.with_sharding_constraint(feats, row_shard)
+            active = jax.lax.with_sharding_constraint(active, row_shard)
 
         if do_sample:
             from rgrg_tpu.decode.sample import sample_generate
@@ -170,14 +183,14 @@ class RGRG:
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
-        "early_stopping", "kv_cache_dtype", "image_chunk"))
+        "early_stopping", "kv_cache_dtype", "image_chunk", "mesh"))
     def detect_and_decode(self, params: Dict[str, Any], images: jnp.ndarray,
                           selected_regions: jnp.ndarray, r_budget: int,
                           max_length: int, precision=None, num_beams: int = 1,
                           early_stopping: bool = False, kv_cache_dtype=None,
                           resize_mats=None,
-                          image_chunk: Optional[int] = None
-                          ) -> Dict[str, jnp.ndarray]:
+                          image_chunk: Optional[int] = None,
+                          mesh=None) -> Dict[str, jnp.ndarray]:
         """One-dispatch serving step: detector + budgeted decode as a SINGLE
         jitted graph. On a tunneled TPU every dispatch costs a host-device
         roundtrip serialized with compute (~27 ms here); the serving
@@ -193,7 +206,8 @@ class RGRG:
         ids, decoded = self.decode_selected(
             params, det["region_features"], selected_regions, r_budget,
             max_length, precision=precision, num_beams=num_beams,
-            early_stopping=early_stopping, kv_cache_dtype=kv_cache_dtype)
+            early_stopping=early_stopping, kv_cache_dtype=kv_cache_dtype,
+            mesh=mesh)
         return {
             "output_ids": ids,
             "decoded_mask": decoded,

@@ -108,6 +108,19 @@ def generate_reports_pipelined(gen: ReportGenerator,
     if not batches:
         return
 
+    if detect_image_chunk:
+        if mesh is not None:
+            # DP already divides the per-device batch by mesh.size; chunking
+            # a batch-sharded leading dim through lax.map would force GSPMD
+            # to broadcast chunks across devices — refuse the combination
+            # rather than silently serving slow
+            raise ValueError("detect_image_chunk cannot be combined with "
+                             "mesh (DP already bounds per-device batch)")
+        if batch_size % detect_image_chunk != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of "
+                f"detect_image_chunk {detect_image_chunk} (a non-dividing "
+                f"chunk silently disables chunking and can OOM)")
     if mesh is not None:
         if batch_size % mesh.size != 0:
             raise ValueError(f"batch_size {batch_size} must be a multiple "
@@ -118,15 +131,26 @@ def generate_reports_pipelined(gen: ReportGenerator,
     else:
         params, shard = gen.params, None
 
+    def round_budget(r_budget: int, cap: int) -> int:
+        """DP decode sharding needs r_budget % mesh.size == 0 (see
+        decode_selected); cap (= padded_B * 29) is always a multiple."""
+        if mesh is None:
+            return r_budget
+        m = mesh.size
+        return min((r_budget + m - 1) // m * m, cap)
+
     # upload in the detector's compute dtype: with bf16 detector compute the
     # first conv casts f32 inputs to bf16 anyway, so a bf16 upload is
     # numerically identical and halves the host->device image traffic
     bf16_upload = gen.model.cfg.detector.dtype == "bfloat16"
 
     def preprocess(batch):
-        if mesh is not None and len(batch) < batch_size:
+        if ((mesh is not None or detect_image_chunk)
+                and len(batch) < batch_size):
             # pad the final partial batch to the full size: keeps the
-            # compiled graph count at one and the shard divisible
+            # compiled graph count at one, the shard divisible, and the
+            # detector chunking active (an unchunked partial batch could
+            # be the one that OOMs)
             batch = list(batch) + [batch[-1]] * (batch_size - len(batch))
         if device_resize:
             raw = gen.preprocess_raw(batch, sharding=shard)
@@ -176,16 +200,24 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 sel = det["selected_regions"]
                 # the ONE unavoidable sync: the host picks the static decode
                 # bucket from the classifier's selection count
-                num_selected = int(np.asarray(sel).sum())
-                # mesh-padded final batch: pad rows (duplicate images) also
-                # select regions, so the cap uses the padded batch size;
-                # compaction is row-ordered, so real rows always fit first
-                r_budget = gen.model.budget_for(num_selected,
-                                                int(device_batch.shape[0]))
+                sel_np = np.asarray(sel)
+                if sel_np.shape[0] > len(batch):
+                    # padded final batch: pad rows are duplicate images whose
+                    # classifier selections would inflate the bucket and
+                    # decode throwaway rows — zero them on the host
+                    sel_np = sel_np.copy()
+                    sel_np[len(batch):] = False
+                    sel = jnp.asarray(sel_np)
+                num_selected = int(sel_np.sum())
+                r_budget = round_budget(
+                    gen.model.budget_for(num_selected,
+                                         int(device_batch.shape[0])),
+                    int(device_batch.shape[0]) * sel_np.shape[1])
                 ids, decoded = gen.model.decode_selected(
                     params, det["region_features"], sel,
                     r_budget, max_length, num_beams=num_beams,
-                    early_stopping=early_stopping, kv_cache_dtype=kv)
+                    early_stopping=early_stopping, kv_cache_dtype=kv,
+                    mesh=mesh)
                 device_out = {
                     "output_ids": ids,
                     "decoded_mask": decoded,
@@ -206,13 +238,15 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     host_sel = np.concatenate(
                         [host_sel, np.zeros((pad_b, host_sel.shape[1]), bool)])
                 sel = jnp.asarray(host_sel)
-                r_budget = gen.model.budget_for(int(host_sel.sum()),
-                                                int(device_batch.shape[0]))
+                r_budget = round_budget(
+                    gen.model.budget_for(int(host_sel.sum()),
+                                         int(device_batch.shape[0])),
+                    int(device_batch.shape[0]) * host_sel.shape[1])
                 out = gen.model.detect_and_decode(
                     params, device_batch, sel, r_budget, max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
                     kv_cache_dtype=kv, resize_mats=mats,
-                    image_chunk=detect_image_chunk)
+                    image_chunk=detect_image_chunk, mesh=mesh)
                 device_out = {
                     "output_ids": out["output_ids"],
                     "decoded_mask": out["decoded_mask"],

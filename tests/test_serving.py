@@ -122,3 +122,21 @@ def test_pipelined_detect_image_chunk_matches(setup):
             assert a.report == b.report
             np.testing.assert_array_equal(a.selected_regions,
                                           b.selected_regions)
+
+
+def test_detect_image_chunk_validation(setup):
+    gen, paths = setup
+    with pytest.raises(ValueError, match="multiple"):
+        list(generate_reports_pipelined(gen, paths, batch_size=4,
+                                        detect_image_chunk=3))
+    from rgrg_tpu.core.mesh import make_mesh
+    with pytest.raises(ValueError, match="mesh"):
+        list(generate_reports_pipelined(gen, paths, batch_size=4,
+                                        detect_image_chunk=2,
+                                        mesh=make_mesh(num_devices=2)))
+
+
+def test_make_mesh_rejects_too_many_devices():
+    from rgrg_tpu.core.mesh import make_mesh
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(num_devices=99)
