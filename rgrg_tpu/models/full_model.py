@@ -183,14 +183,17 @@ class RGRG:
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
-        "early_stopping", "kv_cache_dtype", "image_chunk", "mesh"))
+        "early_stopping", "kv_cache_dtype", "image_chunk", "mesh",
+        "return_features"))
     def detect_and_decode(self, params: Dict[str, Any], images: jnp.ndarray,
                           selected_regions: jnp.ndarray, r_budget: int,
                           max_length: int, precision=None, num_beams: int = 1,
                           early_stopping: bool = False, kv_cache_dtype=None,
                           resize_mats=None,
                           image_chunk: Optional[int] = None,
-                          mesh=None) -> Dict[str, jnp.ndarray]:
+                          mesh=None,
+                          return_features: bool = False
+                          ) -> Dict[str, jnp.ndarray]:
         """One-dispatch serving step: detector + budgeted decode as a SINGLE
         jitted graph. On a tunneled TPU every dispatch costs a host-device
         roundtrip serialized with compute (~27 ms here); the serving
@@ -208,15 +211,90 @@ class RGRG:
             max_length, precision=precision, num_beams=num_beams,
             early_stopping=early_stopping, kv_cache_dtype=kv_cache_dtype,
             mesh=mesh)
-        return {
+        out = {
             "output_ids": ids,
             "decoded_mask": decoded,
             "class_detected": det["class_detected"],
             "top_region_boxes": det["top_region_boxes"],
             "selection_logits": det["selection_logits"],
         }
+        if return_features:
+            # serving's length-bucket cascade continues decoding unfinished
+            # rows outside this fused graph; keep this off the default path
+            # so the per-batch device_get doesn't carry [B,29,1024] floats
+            out["region_features"] = det["region_features"]
+        return out
 
     # ---------------- host orchestration ----------------
+
+    def decode_selected_cascade(self, params: Dict[str, Any],
+                                region_features: jnp.ndarray,
+                                selected_regions,
+                                max_length: int, precision=None,
+                                kv_cache_dtype=None, mesh=None,
+                                buckets: Optional[Tuple[int, ...]] = None,
+                                first_count: Optional[int] = None
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Greedy decode through the static length-bucket ladder.
+
+        Decode everything at a short cache first (~95% of region sentences
+        are <60 tokens, run_configurations.py:50-51), then re-decode only
+        the rows that hit the cap at the next bucket. Greedy decoding is
+        prefix-deterministic, so results are identical to a single
+        full-length decode — but each decode step attends over the FULL
+        static cache buffer, so a 300-slot cache costs ~5x the HBM traffic
+        of a 64-slot one even for short sentences. Costs one host sync per
+        bucket actually used. (Beam is not prefix-consistent across caps —
+        HF finalize depends on max_length — so beam always decodes at full
+        length.)
+
+        buckets: override the config ladder (serving's fused branch decodes
+        its first bucket inside detect_and_decode and continues here).
+        first_count: the selection count for the FIRST bucket when the
+        caller already read it back (saves one ~27 ms tunnel sync).
+        Returns (output_ids [B, 29, max_length], decoded_mask [B, 29]).
+        """
+        b = region_features.shape[0]
+        pad_id = self.cfg.decoder.pad_token_id
+        if buckets is None:
+            buckets = self.cfg.generation.length_buckets
+
+        def pick_budget(n: int) -> int:
+            r = self.budget_for(n, b)
+            if mesh is not None:  # DP decode sharding needs divisibility
+                m = mesh.size
+                r = min((r + m - 1) // m * m, b * C.NUM_REGIONS)
+            return r
+
+        output_ids, decoded_mask = None, None
+        remaining = jnp.asarray(selected_regions)
+        for j, bucket in enumerate(buckets):
+            bucket = min(bucket, max_length)
+            if j == 0 and first_count is not None:
+                n_rem = first_count
+            else:
+                n_rem = int(jnp.sum(remaining))  # host sync: picks the bucket
+            if output_ids is not None and n_rem == 0:
+                break
+            ids_b, dec_b = self.decode_selected(
+                params, region_features, remaining, pick_budget(n_rem),
+                bucket, precision=precision, kv_cache_dtype=kv_cache_dtype,
+                mesh=mesh)
+            ids_b = jnp.pad(ids_b, ((0, 0), (0, 0), (0, max_length - bucket)),
+                            constant_values=pad_id)
+            if output_ids is None:
+                output_ids, decoded_mask = ids_b, dec_b
+            else:
+                take = remaining[..., None]
+                output_ids = jnp.where(take, ids_b, output_ids)
+                decoded_mask = decoded_mask | dec_b
+            if bucket >= max_length:
+                break
+            # rows that filled the bucket without finishing (pad == eos,
+            # so an unfinished row's last slot is a real token)
+            unfinished = ids_b[:, :, bucket - 1] != pad_id
+            remaining = remaining & dec_b & unfinished
+        return output_ids, decoded_mask
 
     def budget_for(self, num_selected: int, batch: int) -> int:
         """Pick a static decode bucket >= num_selected from the
@@ -262,39 +340,9 @@ class RGRG:
         r_budget = self.budget_for(num_selected, b)
 
         if num_beams == 1:
-            # length-bucket cascade: decode everything at a short cap first
-            # (~95% of region sentences are <60 tokens,
-            # run_configurations.py:50-51), then re-decode only the rows
-            # that hit the cap at the full max_length. Greedy decoding is
-            # prefix-deterministic, so results are identical to a single
-            # full-length decode. (Beam is not prefix-consistent across
-            # caps — HF finalize depends on max_length — so beam always
-            # decodes at full length.)
-            output_ids, decoded_mask = None, None
-            remaining = sel
-            for bucket in self.cfg.generation.length_buckets:
-                bucket = min(bucket, max_length)
-                n_rem = int(jnp.sum(remaining))
-                if n_rem == 0:
-                    break
-                ids_b, dec_b = self.decode_selected(
-                    params, det["region_features"], remaining,
-                    self.budget_for(n_rem, b), bucket, precision=precision)
-                ids_b = jnp.pad(ids_b, ((0, 0), (0, 0),
-                                        (0, max_length - bucket)),
-                                constant_values=self.cfg.decoder.pad_token_id)
-                if output_ids is None:
-                    output_ids, decoded_mask = ids_b, dec_b
-                else:
-                    take = remaining[..., None]
-                    output_ids = jnp.where(take, ids_b, output_ids)
-                    decoded_mask = decoded_mask | dec_b
-                if bucket >= max_length:
-                    break
-                # rows that filled the bucket without finishing (pad == eos,
-                # so an unfinished row's last slot is a real token)
-                unfinished = ids_b[:, :, bucket - 1] != self.cfg.decoder.pad_token_id
-                remaining = remaining & dec_b & unfinished
+            output_ids, decoded_mask = self.decode_selected_cascade(
+                params, det["region_features"], sel, max_length,
+                precision=precision)
         else:
             output_ids, decoded_mask = self.decode_selected(
                 params, det["region_features"], sel, r_budget, max_length,

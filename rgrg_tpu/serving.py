@@ -66,6 +66,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                device_resize: bool = True,
                                detect_image_chunk: Optional[int] = None,
                                mesh=None,
+                               length_bucket_cascade: bool = True,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -83,6 +84,15 @@ def generate_reports_pipelined(gen: ReportGenerator,
     over lax.map'd sub-batches of this size inside the same graph — lets
     batch_size exceed the detector's OOM point (B=128 on v5e) so the
     decode bucket amortizes further. Identical numerics.
+    length_bucket_cascade: greedy decode runs through the static
+    length-bucket ladder (decode everything at a short cache, re-decode
+    only rows that hit the cap at the next bucket — each decode step
+    attends over the FULL static cache buffer, so serving the reference's
+    max_length=300 directly would cost ~5x the HBM traffic of a 64-slot
+    bucket even though ~95% of region sentences are <60 tokens). Greedy is
+    prefix-deterministic, so reports are identical; costs one extra sync
+    per extra bucket actually used. Inactive when max_length already fits
+    the first bucket, and for beam (not prefix-consistent across caps).
     mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
     are replicated once, image batches are uploaded batch-sharded over the
     mesh's leading axis, and every jitted stage runs SPMD with XLA placing
@@ -209,15 +219,21 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     sel_np[len(batch):] = False
                     sel = jnp.asarray(sel_np)
                 num_selected = int(sel_np.sum())
-                r_budget = round_budget(
-                    gen.model.budget_for(num_selected,
-                                         int(device_batch.shape[0])),
-                    int(device_batch.shape[0]) * sel_np.shape[1])
-                ids, decoded = gen.model.decode_selected(
-                    params, det["region_features"], sel,
-                    r_budget, max_length, num_beams=num_beams,
-                    early_stopping=early_stopping, kv_cache_dtype=kv,
-                    mesh=mesh)
+                if num_beams == 1 and length_bucket_cascade:
+                    ids, decoded = gen.model.decode_selected_cascade(
+                        params, det["region_features"], sel, max_length,
+                        kv_cache_dtype=kv, mesh=mesh,
+                        first_count=num_selected)
+                else:
+                    r_budget = round_budget(
+                        gen.model.budget_for(num_selected,
+                                             int(device_batch.shape[0])),
+                        int(device_batch.shape[0]) * sel_np.shape[1])
+                    ids, decoded = gen.model.decode_selected(
+                        params, det["region_features"], sel,
+                        r_budget, max_length, num_beams=num_beams,
+                        early_stopping=early_stopping, kv_cache_dtype=kv,
+                        mesh=mesh)
                 device_out = {
                     "output_ids": ids,
                     "decoded_mask": decoded,
@@ -242,14 +258,42 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     gen.model.budget_for(int(host_sel.sum()),
                                          int(device_batch.shape[0])),
                     int(device_batch.shape[0]) * host_sel.shape[1])
+                buckets = gen.model.cfg.generation.length_buckets
+                b1 = min(buckets[0], max_length)
+                cascade = (length_bucket_cascade and num_beams == 1
+                           and max_length > b1)
                 out = gen.model.detect_and_decode(
-                    params, device_batch, sel, r_budget, max_length,
+                    params, device_batch, sel, r_budget,
+                    b1 if cascade else max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
                     kv_cache_dtype=kv, resize_mats=mats,
-                    image_chunk=detect_image_chunk, mesh=mesh)
+                    image_chunk=detect_image_chunk, mesh=mesh,
+                    return_features=cascade)
+                ids, decoded = out["output_ids"], out["decoded_mask"]
+                if cascade:
+                    # continue the length-bucket ladder for rows that hit
+                    # the first cap: one tiny readback decides whether a
+                    # second (much rarer) decode dispatch is needed at all
+                    import jax
+                    pad_id = gen.model.cfg.decoder.pad_token_id
+                    last_col, dec1 = jax.device_get(
+                        (ids[:, :, b1 - 1], decoded))
+                    ids = jnp.pad(ids, ((0, 0), (0, 0),
+                                        (0, max_length - b1)),
+                                  constant_values=pad_id)
+                    rem = host_sel & dec1 & (last_col != pad_id)
+                    if rem.any():
+                        rest = buckets[1:] or (max_length,)
+                        ids2, dec2 = gen.model.decode_selected_cascade(
+                            params, out["region_features"], rem, max_length,
+                            kv_cache_dtype=kv, mesh=mesh, buckets=rest,
+                            first_count=int(rem.sum()))
+                        ids = jnp.where(jnp.asarray(rem)[:, :, None],
+                                        ids2, ids)
+                        decoded = decoded | dec2
                 device_out = {
-                    "output_ids": out["output_ids"],
-                    "decoded_mask": out["decoded_mask"],
+                    "output_ids": ids,
+                    "decoded_mask": decoded,
                     "selected_regions": sel,
                     "class_detected": out["class_detected"],
                     "detections": {"top_region_boxes":

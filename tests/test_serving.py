@@ -140,3 +140,36 @@ def test_make_mesh_rejects_too_many_devices():
     from rgrg_tpu.core.mesh import make_mesh
     with pytest.raises(ValueError, match="available"):
         make_mesh(num_devices=99)
+
+
+def test_pipelined_cascade_matches_full_decode(setup):
+    """Greedy length-bucket cascade through serving (both branches) must be
+    report-identical to a single full-length decode: greedy is
+    prefix-deterministic and the cache buffer size never changes numerics."""
+    import dataclasses
+
+    from rgrg_tpu.core.config import GenerationConfig
+    from tests.test_full_model import SMOKE_CFG as _SMOKE
+
+    gen, paths = setup
+    cfg2 = dataclasses.replace(
+        _SMOKE, generation=GenerationConfig(length_buckets=(4, 12)))
+    gen2 = ReportGenerator(gen.params, GPT2Tokenizer.dummy(), cfg=cfg2,
+                           similarity_fn=None)
+    override = np.zeros((5, 29), bool)
+    override[:, [0, 3, 7]] = True
+    kwargs = dict(batch_size=2, num_beams=1, max_length=12,
+                  kv_cache_dtype=None)
+    for ovr in (None, override):
+        full = [r for chunk in generate_reports_pipelined(
+            gen2, paths, selection_override=ovr,
+            length_bucket_cascade=False, **kwargs) for r in chunk]
+        casc = [r for chunk in generate_reports_pipelined(
+            gen2, paths, selection_override=ovr,
+            length_bucket_cascade=True, **kwargs) for r in chunk]
+        assert len(full) == len(casc) == 5
+        for a, b in zip(full, casc):
+            assert a.report == b.report
+            assert a.region_sentences == b.region_sentences
+            np.testing.assert_array_equal(a.selected_regions,
+                                          b.selected_regions)
