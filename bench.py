@@ -32,7 +32,7 @@ import numpy as np
 
 from rgrg_tpu.core.config import DetectorConfig, ModelConfig
 from rgrg_tpu.inference import ReportGenerator
-from rgrg_tpu.models.full_model import RGRG
+from rgrg_tpu.models.full_model import RGRG, ladder_budget
 from rgrg_tpu.serving import generate_reports_pipelined
 from rgrg_tpu.text.tokenizer import GPT2Tokenizer
 
@@ -127,8 +127,9 @@ def certify_budget(model, params):
                for i in range(0, len(raw), BATCH)]
     dtype = jnp.bfloat16 if model.cfg.detector.dtype == "bfloat16" \
         else jnp.float32
-    batches = [jax.jit(device_preprocess, static_argnames=("out_dtype",))(
-        u8, wy, wx, out_dtype=dtype) for u8, (wy, wx) in u8_mats]
+    pre_jit = jax.jit(device_preprocess, static_argnames=("out_dtype",))
+    batches = [pre_jit(u8, wy, wx, out_dtype=dtype)
+               for u8, (wy, wx) in u8_mats]
 
     @jax.jit
     def survivors(images):
@@ -140,10 +141,7 @@ def certify_budget(model, params):
 
     smax = max(int(np.asarray(survivors(b)).max()) for b in batches)
     capacity = int(model.cfg.detector.rpn.post_nms_top_n_test)
-    budget = 8
-    while budget < smax:
-        budget = budget * 3 // 2 if (budget & (budget - 1)) == 0 \
-            else budget * 4 // 3
+    budget = ladder_budget(smax)
     if budget >= capacity:
         return None, model
 
@@ -250,22 +248,45 @@ def bench_product_path(model, params, batch=PRODUCT_BATCH, image_chunk=None,
     return best
 
 
+def calibrate_selection_threshold(model, params):
+    """Calibrate the selection-classifier threshold on the bench image set.
+
+    Random weights would select a noise-driven region count, so the
+    threshold is set to the detected-region logit quantile that selects
+    REGIONS_PER_IMAGE per report on average (same decode work as the
+    override path, honest readback cost); deterministic for the fixed bench
+    seed. Runs BEFORE certify_budget so the proposal-budget identity check
+    covers the exact threshold the classifier-driven bench serves."""
+    import dataclasses
+
+    gen = ReportGenerator.__new__(ReportGenerator)
+    gen.model = model
+    rng = np.random.default_rng(0)
+    raw = [rng.integers(0, 255, (700, 600)).astype(np.uint8)
+           for _ in range(BATCH)]
+    det = model.detect(params, gen.preprocess(raw))
+    logits = np.asarray(det["selection_logits"])
+    vals = logits[np.asarray(det["class_detected"])]
+    if vals.size == 0:  # nothing detected: keep the config default
+        return model
+    frac = (BATCH * REGIONS_PER_IMAGE) / vals.size
+    thr = float(np.quantile(vals, 1.0 - min(frac, 1.0)))
+    cfg2 = dataclasses.replace(
+        model.cfg, classifier=dataclasses.replace(model.cfg.classifier,
+                                                  logit_threshold=thr))
+    return RGRG(cfg=cfg2)
+
+
 def bench_product_classifier_driven(model, params):
     """The classifier-DRIVEN serving branch (serving.py selection_override
     =None): detect -> classifier readback -> budget pick -> decode. This is
     the branch the reference's own flow corresponds to
     (report_generation_model.py:212-276: the selection classifier picks the
     regions); it costs one extra device->host sync per batch vs the fused
-    caller-selected path, which bench_product_path measures.
-
-    Random weights would select a noise-driven region count, so the
-    classifier threshold is CALIBRATED once on the bench image set to an
-    average of REGIONS_PER_IMAGE selections per report (same decode work as
-    the override path, honest readback cost); the calibrated threshold is
-    deterministic for the fixed bench seed.
+    caller-selected path, which bench_product_path measures. `model` must
+    already carry the calibrated threshold (calibrate_selection_threshold)
+    and the certified budget.
     """
-    import dataclasses
-
     gen = ReportGenerator.__new__(ReportGenerator)
     gen.model = model
     gen.params = params
@@ -277,20 +298,6 @@ def bench_product_classifier_driven(model, params):
     n_images = PRODUCT_IMAGES
     raw = [rng.integers(0, 255, (700, 600)).astype(np.uint8)
            for _ in range(n_images)]
-
-    # calibrate: quantile of detected-region logits such that the expected
-    # number of selected regions per image is REGIONS_PER_IMAGE
-    first = gen.preprocess(raw[:BATCH])
-    det = model.detect(params, first)
-    logits = np.asarray(det["selection_logits"])
-    detected = np.asarray(det["class_detected"])
-    vals = logits[detected]
-    frac = (BATCH * REGIONS_PER_IMAGE) / max(vals.size, 1)
-    thr = float(np.quantile(vals, 1.0 - min(frac, 1.0)))
-    cfg2 = dataclasses.replace(
-        model.cfg, classifier=dataclasses.replace(model.cfg.classifier,
-                                                  logit_threshold=thr))
-    gen.model = RGRG(cfg=cfg2)
 
     def run(images_subset):
         n = 0
@@ -384,8 +391,10 @@ def main():
     device_rps = bench_device_path(model, params)
     # the product benches serve the self-certified proposal budget (identical
     # detections verified in-run; see certify_budget); device path stays
-    # unbudgeted for round-over-round comparability
-    budget, served = certify_budget(model, params)
+    # unbudgeted for round-over-round comparability. The classifier threshold
+    # is calibrated FIRST so certification covers the served threshold.
+    budget, served = certify_budget(
+        calibrate_selection_threshold(model, params), params)
     # product path: measure BOTH batch configs and take the winner — the
     # fused step scales sub-linearly with the decode bucket, but the bigger
     # batch also doubles the per-batch upload, so which wins depends on the

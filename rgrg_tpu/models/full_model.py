@@ -33,6 +33,21 @@ from rgrg_tpu.models import gpt2
 from rgrg_tpu.models.detector import RegionDetector
 
 
+def ladder_budget(n: int) -> int:
+    """Smallest {2^k, 3*2^k}-ladder value >= n (8, 12, 16, 24, 32, 48, ...).
+
+    The shared static-size ladder: decode row budgets (budget_for) and
+    post-NMS proposal budgets (bench certify_budget,
+    scripts/validate_proposal_budget.py) pick from the same sequence so the
+    set of compiled graph shapes stays small while padding waste is <=33%.
+    """
+    budget = 8
+    while budget < n:
+        budget = (budget * 3 // 2 if (budget & (budget - 1)) == 0
+                  else budget * 4 // 3)
+    return budget
+
+
 @dataclasses.dataclass(frozen=True)
 class RGRG:
     """The full model: a RegionDetector flax module + functional decoder.
@@ -258,13 +273,11 @@ class RGRG:
         pad_id = self.cfg.decoder.pad_token_id
         if buckets is None:
             buckets = self.cfg.generation.length_buckets
-
-        def pick_budget(n: int) -> int:
-            r = self.budget_for(n, b)
-            if mesh is not None:  # DP decode sharding needs divisibility
-                m = mesh.size
-                r = min((r + m - 1) // m * m, b * C.NUM_REGIONS)
-            return r
+        if not buckets or buckets[-1] < max_length:
+            # the ladder must reach max_length: without this final rung a
+            # max_length beyond the last config bucket would silently return
+            # truncated prefixes for rows still unfinished at buckets[-1]
+            buckets = tuple(buckets) + (max_length,)
 
         output_ids, decoded_mask = None, None
         remaining = jnp.asarray(selected_regions)
@@ -277,8 +290,9 @@ class RGRG:
             if output_ids is not None and n_rem == 0:
                 break
             ids_b, dec_b = self.decode_selected(
-                params, region_features, remaining, pick_budget(n_rem),
-                bucket, precision=precision, kv_cache_dtype=kv_cache_dtype,
+                params, region_features, remaining,
+                self.budget_for(n_rem, b, mesh=mesh), bucket,
+                precision=precision, kv_cache_dtype=kv_cache_dtype,
                 mesh=mesh)
             ids_b = jnp.pad(ids_b, ((0, 0), (0, 0), (0, max_length - bucket)),
                             constant_values=pad_id)
@@ -296,19 +310,21 @@ class RGRG:
             remaining = remaining & dec_b & unfinished
         return output_ids, decoded_mask
 
-    def budget_for(self, num_selected: int, batch: int) -> int:
+    def budget_for(self, num_selected: int, batch: int, mesh=None) -> int:
         """Pick a static decode bucket >= num_selected from the
         {2^k, 3*2^k} ladder (8, 12, 16, 24, 32, 48, ...), capped at B*29.
         The 3*2^k steps cap padding waste at ~33% while keeping the set of
-        compiled decode graphs small."""
+        compiled decode graphs small. With a mesh, the budget is rounded up
+        to a multiple of mesh.size (decode_selected shards the compacted
+        row axis for DP; the cap B*29 is already divisible because serving
+        enforces B % mesh.size == 0)."""
         cap = batch * C.NUM_REGIONS
-        if num_selected >= cap:
-            return cap
-        budget = 8
-        while budget < num_selected:
-            budget = budget * 3 // 2 if budget % 2 == 0 and (budget & (budget - 1)) == 0 \
-                else budget * 4 // 3
-        return min(budget, cap)
+        r = cap if num_selected >= cap else min(ladder_budget(num_selected),
+                                                cap)
+        if mesh is not None:
+            m = mesh.size
+            r = min((r + m - 1) // m * m, cap)
+        return r
 
     def generate(self, params: Dict[str, Any], images: jnp.ndarray,
                  max_length: Optional[int] = None,

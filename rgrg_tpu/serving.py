@@ -101,8 +101,10 @@ def generate_reports_pipelined(gen: ReportGenerator,
     partial batch is padded to batch_size (reusing the compiled graph) and
     the pad reports dropped."""
     import jax.numpy as jnp
-    if kv_cache_dtype is None or kv_cache_dtype == "int8":
-        kv = {"int8": jnp.int8, None: None}[kv_cache_dtype]
+    if kv_cache_dtype is None:
+        kv = None
+    elif kv_cache_dtype == "int8":  # matches the string AND np.dtype('int8')
+        kv = jnp.int8
     else:
         # accept an actual jnp dtype (e.g. jnp.bfloat16); reject strings we
         # don't map — they would otherwise fail with an opaque jnp.zeros
@@ -140,14 +142,6 @@ def generate_reports_pipelined(gen: ReportGenerator,
         shard = mesh_lib.batch_sharded(mesh)
     else:
         params, shard = gen.params, None
-
-    def round_budget(r_budget: int, cap: int) -> int:
-        """DP decode sharding needs r_budget % mesh.size == 0 (see
-        decode_selected); cap (= padded_B * 29) is always a multiple."""
-        if mesh is None:
-            return r_budget
-        m = mesh.size
-        return min((r_budget + m - 1) // m * m, cap)
 
     # upload in the detector's compute dtype: with bf16 detector compute the
     # first conv casts f32 inputs to bf16 anyway, so a bf16 upload is
@@ -225,10 +219,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
                         kv_cache_dtype=kv, mesh=mesh,
                         first_count=num_selected)
                 else:
-                    r_budget = round_budget(
-                        gen.model.budget_for(num_selected,
-                                             int(device_batch.shape[0])),
-                        int(device_batch.shape[0]) * sel_np.shape[1])
+                    r_budget = gen.model.budget_for(
+                        num_selected, int(device_batch.shape[0]), mesh=mesh)
                     ids, decoded = gen.model.decode_selected(
                         params, det["region_features"], sel,
                         r_budget, max_length, num_beams=num_beams,
@@ -254,10 +246,9 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     host_sel = np.concatenate(
                         [host_sel, np.zeros((pad_b, host_sel.shape[1]), bool)])
                 sel = jnp.asarray(host_sel)
-                r_budget = round_budget(
-                    gen.model.budget_for(int(host_sel.sum()),
-                                         int(device_batch.shape[0])),
-                    int(device_batch.shape[0]) * host_sel.shape[1])
+                r_budget = gen.model.budget_for(
+                    int(host_sel.sum()), int(device_batch.shape[0]),
+                    mesh=mesh)
                 buckets = gen.model.cfg.generation.length_buckets
                 b1 = min(buckets[0], max_length)
                 cascade = (length_bucket_cascade and num_beams == 1

@@ -29,3 +29,45 @@ def test_cascade_equals_full_decode():
 
     np.testing.assert_array_equal(out["decoded_mask"], np.asarray(dec_full))
     np.testing.assert_array_equal(out["output_ids"], np.asarray(ids_full))
+
+
+def test_cascade_max_length_beyond_last_bucket():
+    """max_length past the last config bucket must append a final rung, not
+    silently return prefixes truncated at buckets[-1] (rows unfinished at
+    the last bucket would otherwise be padded with pad_id and reported as
+    decoded)."""
+    cfg = dataclasses.replace(
+        SMOKE_CFG, generation=GenerationConfig(length_buckets=(4, 8)))
+    model = RGRG(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 512, 1)) * 0.3
+    max_length = 14  # > buckets[-1] == 8
+
+    det = model.detect(params, images)
+    sel = det["selected_regions"]
+    ids_c, dec_c = model.decode_selected_cascade(
+        params, det["region_features"], sel, max_length)
+    ids_full, dec_full = model.decode_selected(
+        params, det["region_features"], sel,
+        model.budget_for(int(np.asarray(sel).sum()), 2), max_length)
+
+    np.testing.assert_array_equal(np.asarray(dec_c), np.asarray(dec_full))
+    np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_full))
+
+
+def test_budget_for_mesh_rounds_up():
+    model = RGRG(cfg=SMOKE_CFG)
+
+    class FakeMesh:
+        size = 4
+
+    assert model.budget_for(9, 4) == 12
+    assert model.budget_for(9, 4, mesh=FakeMesh()) == 12
+    assert model.budget_for(5, 4, mesh=FakeMesh()) == 8
+    # ladder value 24 already divisible; 29*B cap divisible when B % m == 0
+    assert model.budget_for(17, 4, mesh=FakeMesh()) == 24
+    # a hypothetical non-divisible ladder pick rounds UP to mesh.size
+    class Mesh3:
+        size = 3
+
+    assert model.budget_for(7, 4, mesh=Mesh3()) % 3 == 0

@@ -52,6 +52,23 @@ def test_pipelined_empty():
     assert list(generate_reports_pipelined(gen, [], batch_size=2)) == []
 
 
+def test_pipelined_kv_cache_dtype_spellings(setup):
+    """np.dtype('int8') equals 'int8' under == but not under hash — the
+    normalization must accept it (and real jnp dtypes) and reject unknown
+    strings with a clear ValueError, not an opaque jit error."""
+    gen, paths = setup
+    kwargs = dict(batch_size=2, num_beams=1, max_length=4)
+    a = [r for chunk in generate_reports_pipelined(
+        gen, paths[:2], kv_cache_dtype="int8", **kwargs) for r in chunk]
+    b = [r for chunk in generate_reports_pipelined(
+        gen, paths[:2], kv_cache_dtype=np.dtype("int8"), **kwargs)
+        for r in chunk]
+    assert [r.report for r in a] == [r.report for r in b]
+    with pytest.raises(ValueError, match="kv_cache_dtype"):
+        list(generate_reports_pipelined(gen, paths[:2],
+                                        kv_cache_dtype="bf16", **kwargs))
+
+
 def test_pipelined_selection_override(setup):
     gen, paths = setup
     override = np.zeros((5, 29), bool)
