@@ -26,6 +26,7 @@ from __future__ import annotations
 import ast
 import dataclasses
 import logging
+from itertools import islice
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -78,7 +79,12 @@ def row_to_sample(row, train: bool, rng: Optional[np.random.Generator],
     labels = np.asarray(row["bbox_labels"], np.int32)
 
     if train:
-        image, boxes = T.train_transform(image, boxes, rng, tcfg)
+        # keep: boxes pushed fully outside by Affine are dropped, shrinking
+        # the box/label lists in lockstep (albumentations bbox filtering,
+        # reference custom_image_dataset_object_detector.py:33-37) — the
+        # region simply has no gt that step (gt_valid stays False)
+        image, boxes, keep = T.train_transform(image, boxes, rng, tcfg)
+        labels = labels[keep]
     else:
         image, boxes = T.val_transform(image, boxes, tcfg)
 
@@ -114,7 +120,9 @@ class RGRGDataset:
         self.train = train
         self.seq_len = seq_len
         self.tcfg = tcfg
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.df)
@@ -136,14 +144,22 @@ class RGRGDataset:
         return ids, mask
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True,
+                workers: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """workers > 0 builds samples on a thread pool (cv2 decode/warp
+        release the GIL), the analogue of the reference DataLoader's
+        num_workers (train_full_model.py:320-327). Augmentation rngs are
+        then derived per (seed, epoch, index) SeedSequence so results are
+        deterministic regardless of thread scheduling — a different (but
+        equally seeded) stream than the workers=0 shared-generator path,
+        just as torch worker seeding differs from in-process loading."""
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
+        samples = (self._parallel_samples(order, workers) if workers > 0
+                   else (self[int(idx)] for idx in order))
         buf: List[Sample] = []
-        metas: List[Sample] = []
-        for idx in order:
-            s = self[int(idx)]
+        for s in samples:
             if s is None:
                 continue
             buf.append(s)
@@ -152,6 +168,36 @@ class RGRGDataset:
                 buf = []
         if buf and not drop_last:
             yield self._collate(buf)
+
+    def _parallel_samples(self, order: np.ndarray,
+                          workers: int) -> Iterator[Optional[Sample]]:
+        """Ordered sample construction with a bounded in-flight window
+        (workers * 2) so an epoch never materializes ahead of the
+        consumer."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        epoch = self._epoch
+        self._epoch += 1
+
+        def build(idx: int) -> Optional[Sample]:
+            rng = (np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch, int(idx)]))
+                if self.train else None)
+            return row_to_sample(self.df.iloc[int(idx)], self.train, rng,
+                                 self.tcfg)
+
+        with ThreadPoolExecutor(workers) as ex:
+            pending = deque()
+            it = iter(order.tolist())
+            for idx in list(islice(it, workers * 2)):
+                pending.append(ex.submit(build, idx))
+            while pending:
+                s = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(ex.submit(build, nxt))
+                yield s
 
     def _collate(self, samples: List[Sample]) -> Dict[str, np.ndarray]:
         batch = {

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--resume-from", default=None)
     ap.add_argument("--init-from-torch", default=None,
                     help="warm-start from a converted reference .pt")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="sample-construction threads (reference "
+                         "DataLoader num_workers analogue)")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="batches prefetched ahead of the device step "
+                         "(0 = synchronous)")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +71,11 @@ def main():
     train_ds = RGRGDataset(train_df, tok, train=True, seq_len=args.seq_len)
 
     def train_batches():
-        return train_ds.batches(batch_size, shuffle=True)
+        it = train_ds.batches(batch_size, shuffle=True, workers=args.workers)
+        if args.prefetch > 0:
+            from rgrg_tpu.data.prefetch import prefetched
+            it = prefetched(it, depth=args.prefetch)
+        return it
 
     val_fn = None
     if args.val_csv:
