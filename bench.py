@@ -79,9 +79,36 @@ def ensure_native():
             print(f"note: native build skipped ({e})", file=sys.stderr)
 
 
+def wait_for_backend(attempts: int = 6, delay_s: float = 30.0,
+                     probe_timeout_s: float = 90.0):
+    """Block until the device backend initializes, riding out transient
+    tunnel outages (the axon TPU tunnel has unavailable phases lasting
+    minutes, during which backend init either errors OR hangs — and jax
+    caches an in-process init failure, so the probe must run in a bounded
+    SUBPROCESS; only after a probe succeeds do we init in-process)."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return
+            msg = (r.stderr or b"").decode(errors="replace").strip()
+            msg = msg.splitlines()[-1][:120] if msg else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            msg = f"probe hung >{probe_timeout_s:.0f}s"
+        print(f"backend probe failed (attempt {i + 1}/{attempts}): {msg}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(delay_s)
+    raise RuntimeError(f"device backend unavailable after {attempts} probes")
+
+
 def build():
     # serving config: bf16 compute in the detector (params stay f32; box
     # math stays f32), bf16 decoder params, int8 KV cache.
+    wait_for_backend()
     cfg = ModelConfig(detector=DetectorConfig(dtype="bfloat16"))
     model = RGRG(cfg=cfg)
     params = model.init(jax.random.PRNGKey(0))
