@@ -38,7 +38,7 @@ NEG_INF = -1.0e9
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_length", "num_beams", "length_penalty", "early_stopping",
-    "precision", "no_image", "batch", "cache_dtype"))
+    "precision", "no_image", "batch", "cache_dtype", "return_done"))
 def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   cfg: DecoderConfig, max_length: int = 300,
                   num_beams: int = 4, length_penalty: float = 1.0,
@@ -46,12 +46,20 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   active: Optional[jnp.ndarray] = None,
                   no_image: bool = False,
                   batch: Optional[int] = None,
-                  cache_dtype=None) -> jnp.ndarray:
+                  cache_dtype=None, return_done: bool = False) -> jnp.ndarray:
     """image_features: [B, F] (or None with `batch` for vanilla GPT-2).
 
     Returns output ids [B, max_length] of the best hypothesis per item
     (padded; EOS appended when it fits), matching reference
     language_model.generate with num_beams>1.
+
+    return_done: also return the [B] bool `done` mask at loop exit. A done
+    item's search CLOSED before the cap (BeamHypotheses.is_done — a
+    condition on cur_len only, never max_length), so its finalized output
+    is identical under any longer cap: done rows stop adding to the
+    finished pool and contribute no alive beams, hence finalize reads the
+    same pool either way. The length-bucket cascade uses this to re-decode
+    only not-done rows at the next rung.
     """
     k = num_beams
     if image_features is not None:
@@ -212,4 +220,6 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
     best_seq = jnp.where(pos > best_len[:, None], pad, best_seq)
     if active is not None:
         best_seq = jnp.where(active[:, None], best_seq, pad)
+    if return_done:
+        return best_seq, done
     return best_seq

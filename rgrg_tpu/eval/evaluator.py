@@ -301,9 +301,14 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
         if (generate_language and tokenizer is not None
                 and bi < max_language_batches and "reference_phrases" in batch):
             sel = det["selected_regions"]
-            r_budget = model.budget_for(int(jnp.sum(sel)), batch["images"].shape[0])
-            ids, decoded = model.decode_selected(
-                params, det["region_features"], sel, r_budget, max_length,
+            # length-bucket cascade: the reference evaluates at
+            # max_length 300 (evaluate_language_model.py:1204-1205) while
+            # ~95% of region sentences are <60 tokens — decoding through
+            # the bucket ladder instead of one 300-slot cache cuts decode
+            # HBM traffic ~5x; outputs equal the full-length decode
+            # (tests/test_length_buckets.py, greedy and beam)
+            ids, decoded = model.decode_selected_cascade(
+                params, det["region_features"], sel, max_length,
                 num_beams=num_beams, early_stopping=early_stopping,
                 kv_cache_dtype=kv_cache_dtype)
             collector.add_batch(np.asarray(ids), np.asarray(decoded), tokenizer,

@@ -125,7 +125,7 @@ class RGRG:
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
         "early_stopping", "kv_cache_dtype", "do_sample", "temperature",
-        "top_k", "top_p", "mesh"))
+        "top_k", "top_p", "mesh", "return_done"))
     def decode_selected(self, params: Dict[str, Any],
                         region_features: jnp.ndarray,
                         selected_regions: jnp.ndarray,
@@ -136,7 +136,7 @@ class RGRG:
                         do_sample: bool = False, temperature: float = 1.0,
                         top_k: int = 0, top_p: float = 1.0,
                         sample_rng: Optional[jax.Array] = None,
-                        mesh=None
+                        mesh=None, return_done: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compact selected regions to r_budget rows, decode (greedy or
         beam), scatter back.
@@ -144,6 +144,9 @@ class RGRG:
         region_features: [B, 29, 1024]; selected_regions: [B, 29] bool.
         Returns (output_ids [B, 29, max_length], decoded_mask [B, 29]):
         decoded_mask marks regions whose row fit in the budget.
+        return_done (beam only): additionally return a [B, 29] bool mask of
+        rows whose beam search CLOSED before max_length (see
+        beam_generate) — the cascade's bucket-final criterion.
 
         mesh: optional jax.sharding.Mesh (static). The compaction gather
         mixes rows across the batch, so GSPMD's default resolution would
@@ -152,6 +155,9 @@ class RGRG:
         mesh's leading axis keeps the decode loop itself sharded (requires
         r_budget % mesh.size == 0 — DP serving rounds the budget up).
         """
+        if return_done and (num_beams <= 1 or do_sample):
+            raise ValueError("return_done is a beam-search signal "
+                             "(num_beams > 1, no sampling)")
         b = region_features.shape[0]
         flat_feats = region_features.reshape(b * C.NUM_REGIONS, -1)
         sel = selected_regions.reshape(-1)
@@ -181,7 +187,10 @@ class RGRG:
                                 length_penalty=self.cfg.generation.length_penalty,
                                 early_stopping=early_stopping,
                                 precision=precision, active=active,
-                                cache_dtype=kv_cache_dtype)
+                                cache_dtype=kv_cache_dtype,
+                                return_done=return_done)
+            if return_done:
+                ids, row_done = ids
         else:
             ids = greedy_generate(params["decoder"], feats, self.cfg.decoder,
                                   max_length=max_length, precision=precision,
@@ -193,13 +202,19 @@ class RGRG:
         out = out.at[idx].set(jnp.where(active[:, None], ids,
                                         self.cfg.decoder.pad_token_id))
         decoded = jnp.zeros((b * C.NUM_REGIONS,), bool).at[idx].set(active)
+        if return_done:
+            done = jnp.zeros((b * C.NUM_REGIONS,), bool).at[idx].set(
+                row_done & active)
+            return (out.reshape(b, C.NUM_REGIONS, max_length),
+                    decoded.reshape(b, C.NUM_REGIONS),
+                    done.reshape(b, C.NUM_REGIONS))
         return (out.reshape(b, C.NUM_REGIONS, max_length),
                 decoded.reshape(b, C.NUM_REGIONS))
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "r_budget", "max_length", "precision", "num_beams",
         "early_stopping", "kv_cache_dtype", "image_chunk", "mesh",
-        "return_features"))
+        "return_features", "return_done"))
     def detect_and_decode(self, params: Dict[str, Any], images: jnp.ndarray,
                           selected_regions: jnp.ndarray, r_budget: int,
                           max_length: int, precision=None, num_beams: int = 1,
@@ -207,7 +222,8 @@ class RGRG:
                           resize_mats=None,
                           image_chunk: Optional[int] = None,
                           mesh=None,
-                          return_features: bool = False
+                          return_features: bool = False,
+                          return_done: bool = False
                           ) -> Dict[str, jnp.ndarray]:
         """One-dispatch serving step: detector + budgeted decode as a SINGLE
         jitted graph. On a tunneled TPU every dispatch costs a host-device
@@ -221,11 +237,12 @@ class RGRG:
         """
         det = self.detect(params, images, resize_mats,
                           image_chunk=image_chunk)  # nested jit inlines
-        ids, decoded = self.decode_selected(
+        res = self.decode_selected(
             params, det["region_features"], selected_regions, r_budget,
             max_length, precision=precision, num_beams=num_beams,
             early_stopping=early_stopping, kv_cache_dtype=kv_cache_dtype,
-            mesh=mesh)
+            mesh=mesh, return_done=return_done)
+        ids, decoded = res[0], res[1]
         out = {
             "output_ids": ids,
             "decoded_mask": decoded,
@@ -233,6 +250,8 @@ class RGRG:
             "top_region_boxes": det["top_region_boxes"],
             "selection_logits": det["selection_logits"],
         }
+        if return_done:
+            out["decode_done"] = res[2]
         if return_features:
             # serving's length-bucket cascade continues decoding unfinished
             # rows outside this fused graph; keep this off the default path
@@ -248,20 +267,35 @@ class RGRG:
                                 max_length: int, precision=None,
                                 kv_cache_dtype=None, mesh=None,
                                 buckets: Optional[Tuple[int, ...]] = None,
-                                first_count: Optional[int] = None
+                                first_count: Optional[int] = None,
+                                num_beams: int = 1,
+                                early_stopping: bool = False
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Greedy decode through the static length-bucket ladder.
+        """Decode (greedy or beam) through the static length-bucket ladder.
 
         Decode everything at a short cache first (~95% of region sentences
         are <60 tokens, run_configurations.py:50-51), then re-decode only
-        the rows that hit the cap at the next bucket. Greedy decoding is
-        prefix-deterministic, so results are identical to a single
-        full-length decode — but each decode step attends over the FULL
-        static cache buffer, so a 300-slot cache costs ~5x the HBM traffic
-        of a 64-slot one even for short sentences. Costs one host sync per
-        bucket actually used. (Beam is not prefix-consistent across caps —
-        HF finalize depends on max_length — so beam always decodes at full
-        length.)
+        the rows that hit the cap at the next bucket — each decode step
+        attends over the FULL static cache buffer, so a 300-slot cache
+        costs ~5x the HBM traffic of a 64-slot one even for short
+        sentences. Costs one host sync per bucket actually used.
+
+        Bucket-equivalence arguments, per mode:
+          * greedy: prefix-deterministic — a row finishing (EOS) inside the
+            bucket is byte-identical to the full-length decode; rows whose
+            last slot holds a real token are re-decoded.
+          * beam: a row is bucket-final iff its search CLOSED (`done` from
+            beam_generate — BeamHypotheses.is_done depends on cur_len only,
+            never max_length) AND its best hypothesis + appended EOS fit
+            inside the bucket (pad in the last slot). Closed rows stop
+            updating the finished pool and contribute no alive beams, so
+            finalize reads the same pool under any longer cap; all other
+            rows (open searches, whose alive beams could still beat the
+            pool, or boundary EOS-clip cases) are re-decoded from scratch
+            at the next rung — which is exactly the longer-cap trajectory,
+            since beam steps are cap-independent. Equality with the
+            single full-length decode is pinned in
+            tests/test_length_buckets.py for both early_stopping modes.
 
         buckets: override the config ladder (serving's fused branch decodes
         its first bucket inside detect_and_decode and continues here).
@@ -289,11 +323,14 @@ class RGRG:
                 n_rem = int(jnp.sum(remaining))  # host sync: picks the bucket
             if output_ids is not None and n_rem == 0:
                 break
-            ids_b, dec_b = self.decode_selected(
+            res = self.decode_selected(
                 params, region_features, remaining,
                 self.budget_for(n_rem, b, mesh=mesh), bucket,
                 precision=precision, kv_cache_dtype=kv_cache_dtype,
-                mesh=mesh)
+                mesh=mesh, num_beams=num_beams,
+                early_stopping=early_stopping,
+                return_done=num_beams > 1 and bucket < max_length)
+            ids_b, dec_b = res[0], res[1]
             ids_b = jnp.pad(ids_b, ((0, 0), (0, 0), (0, max_length - bucket)),
                             constant_values=pad_id)
             if output_ids is None:
@@ -305,8 +342,13 @@ class RGRG:
             if bucket >= max_length:
                 break
             # rows that filled the bucket without finishing (pad == eos,
-            # so an unfinished row's last slot is a real token)
+            # so an unfinished row's last slot is a real token); for beam,
+            # a row is only final when its search also CLOSED (see
+            # docstring) — open rows re-decode even if their current best
+            # hypothesis is short
             unfinished = ids_b[:, :, bucket - 1] != pad_id
+            if num_beams > 1:
+                unfinished = unfinished | ~res[2]
             remaining = remaining & dec_b & unfinished
         return output_ids, decoded_mask
 

@@ -213,11 +213,12 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     sel_np[len(batch):] = False
                     sel = jnp.asarray(sel_np)
                 num_selected = int(sel_np.sum())
-                if num_beams == 1 and length_bucket_cascade:
+                if length_bucket_cascade:
                     ids, decoded = gen.model.decode_selected_cascade(
                         params, det["region_features"], sel, max_length,
                         kv_cache_dtype=kv, mesh=mesh,
-                        first_count=num_selected)
+                        first_count=num_selected, num_beams=num_beams,
+                        early_stopping=early_stopping)
                 else:
                     r_budget = gen.model.budget_for(
                         num_selected, int(device_batch.shape[0]), mesh=mesh)
@@ -251,34 +252,47 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     mesh=mesh)
                 buckets = gen.model.cfg.generation.length_buckets
                 b1 = min(buckets[0], max_length)
-                cascade = (length_bucket_cascade and num_beams == 1
-                           and max_length > b1)
+                cascade = length_bucket_cascade and max_length > b1
                 out = gen.model.detect_and_decode(
                     params, device_batch, sel, r_budget,
                     b1 if cascade else max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
                     kv_cache_dtype=kv, resize_mats=mats,
                     image_chunk=detect_image_chunk, mesh=mesh,
-                    return_features=cascade)
+                    return_features=cascade,
+                    return_done=cascade and num_beams > 1)
                 ids, decoded = out["output_ids"], out["decoded_mask"]
                 if cascade:
                     # continue the length-bucket ladder for rows that hit
                     # the first cap: one tiny readback decides whether a
-                    # second (much rarer) decode dispatch is needed at all
+                    # second (much rarer) decode dispatch is needed at all.
+                    # Bucket-final rule per mode: greedy = pad in the last
+                    # slot; beam = that AND the search closed (decode_done)
+                    # — see decode_selected_cascade's docstring.
                     import jax
                     pad_id = gen.model.cfg.decoder.pad_token_id
-                    last_col, dec1 = jax.device_get(
-                        (ids[:, :, b1 - 1], decoded))
+                    fetch = (ids[:, :, b1 - 1], decoded)
+                    if num_beams > 1:
+                        last_col, dec1, done1 = jax.device_get(
+                            fetch + (out["decode_done"],))
+                    else:
+                        last_col, dec1 = jax.device_get(fetch)
+                        done1 = None
                     ids = jnp.pad(ids, ((0, 0), (0, 0),
                                         (0, max_length - b1)),
                                   constant_values=pad_id)
                     rem = host_sel & dec1 & (last_col != pad_id)
+                    if done1 is not None:
+                        rem = host_sel & dec1 & ((last_col != pad_id)
+                                                 | ~done1)
                     if rem.any():
                         rest = buckets[1:] or (max_length,)
                         ids2, dec2 = gen.model.decode_selected_cascade(
                             params, out["region_features"], rem, max_length,
                             kv_cache_dtype=kv, mesh=mesh, buckets=rest,
-                            first_count=int(rem.sum()))
+                            first_count=int(rem.sum()),
+                            num_beams=num_beams,
+                            early_stopping=early_stopping)
                         ids = jnp.where(jnp.asarray(rem)[:, :, None],
                                         ids2, ids)
                         decoded = decoded | dec2

@@ -159,10 +159,13 @@ def test_make_mesh_rejects_too_many_devices():
         make_mesh(num_devices=99)
 
 
-def test_pipelined_cascade_matches_full_decode(setup):
-    """Greedy length-bucket cascade through serving (both branches) must be
+@pytest.mark.parametrize("num_beams", [1, 3])
+def test_pipelined_cascade_matches_full_decode(setup, num_beams):
+    """Length-bucket cascade through serving (both branches) must be
     report-identical to a single full-length decode: greedy is
-    prefix-deterministic and the cache buffer size never changes numerics."""
+    prefix-deterministic; beam rows are only bucket-final once their
+    search closed (decode_done) so finalize reads the same finished pool
+    (decode_selected_cascade docstring)."""
     import dataclasses
 
     from rgrg_tpu.core.config import GenerationConfig
@@ -175,7 +178,7 @@ def test_pipelined_cascade_matches_full_decode(setup):
                            similarity_fn=None)
     override = np.zeros((5, 29), bool)
     override[:, [0, 3, 7]] = True
-    kwargs = dict(batch_size=2, num_beams=1, max_length=12,
+    kwargs = dict(batch_size=2, num_beams=num_beams, max_length=12,
                   kv_cache_dtype=None)
     for ovr in (None, override):
         full = [r for chunk in generate_reports_pipelined(
