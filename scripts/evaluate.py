@@ -30,6 +30,12 @@ def main():
                          "(default: alongside --output)")
     ap.add_argument("--num-figure-images", type=int, default=2,
                     help="bbox figures for the first N images (0 disables)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="sample-construction threads (DataLoader "
+                         "num_workers analogue)")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="batches prefetched ahead of the device step "
+                         "(0 = synchronous)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +83,11 @@ def main():
     for csv_path in args.test_csv:
         ds = RGRGDataset(read_split_csv(csv_path), tok, train=False)
         tag = os.path.splitext(os.path.basename(csv_path))[0]
-        scores = evaluate_model(model, params, ds.batches(args.batch_size),
+        batches = ds.batches(args.batch_size, workers=args.workers)
+        if args.prefetch > 0:
+            from rgrg_tpu.data.prefetch import prefetched
+            batches = prefetched(batches, depth=args.prefetch)
+        scores = evaluate_model(model, params, batches,
                                 tok, num_beams=args.num_beams,
                                 max_length=args.max_length,
                                 max_language_batches=args.max_language_batches,
