@@ -21,10 +21,21 @@ from typing import Dict, Iterable, List, Sequence
 
 ENDOFTEXT = "<|endoftext|>"
 
-# GPT-2's regex for pre-tokenization (contractions, letters, numbers, other)
-_PAT = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+""",
-    re.UNICODE)
+# GPT-2's regex for pre-tokenization (contractions, letters, numbers,
+# other). HF tokenization_gpt2.py uses the `regex` module for \p{L}/\p{N};
+# it ships with transformers so it is present here. The stdlib-re fallback
+# approximates the unicode classes with \w-based ones and is NOT exact for
+# '_' (dropped: [^\s\w] excludes it) or non-Nd numerals — hence fallback
+# only when `regex` is genuinely missing.
+try:
+    import regex as _regex
+    _PAT = _regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+        r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _PAT = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+"""
+        r"""|\s+(?!\S)|\s+""", re.UNICODE)
 
 
 @functools.lru_cache()

@@ -74,7 +74,15 @@ class TestTokenizer:
             "a . . repeated . dots .. and !? mixed",
             "tell me you will n't 've regressed",
             "hello fellow llamas",  # exercises the ll merge
+            # '_' is NOT \p{L}/\p{N}: the punctuation alternative must eat
+            # it (the old stdlib-re pattern dropped it entirely)
+            "a_b under_score x __ y end",
+            "a①b counts ½ too",  # non-Nd numerals split like HF
         ]
+        rng = __import__("random").Random(0)
+        alphabet = ("abc AB12 _'.,!?-/;:()\t " * 2)
+        corpus += ["".join(rng.choice(alphabet) for _ in range(60))
+                   for _ in range(25)]
         for text in corpus:
             ids = tok.encode(text)
             assert ids == hf.encode(text), text
