@@ -73,6 +73,9 @@ class GPT2Tokenizer:
         self.bos_token_id = self.eos_token_id
         self.pad_token_id = self.eos_token_id
         self._decode_table: List[bytes] | None = None  # built lazily
+        self._merges = merges
+        self._native = None          # C++ encoder, built on first encode
+        self._native_tried = False
 
     def _build_decode_table(self) -> List[bytes]:
         """id -> raw bytes, precomputed once. Serving decodes ~200 sentences
@@ -159,8 +162,25 @@ class GPT2Tokenizer:
 
     def encode(self, text: str, add_special: bool = False) -> List[int]:
         """Plain text -> ids. With add_special, wraps in eos ids the way the
-        reference wraps region phrases."""
-        ids: List[int] = []
+        reference wraps region phrases.
+
+        ASCII text goes through the C++ encoder when native/librgrg_host.so
+        is built (the reference's HF tokenizer is Rust-native; this is the
+        host-runtime equivalent) — identical ids by construction, pinned by
+        fuzz tests. Non-ASCII text and library-less installs use the Python
+        path below."""
+        if not self._native_tried:
+            self._native_tried = True
+            from rgrg_tpu.text.native_bpe import NativeBpe
+            self._native = NativeBpe.build(self.encoder, self._merges,
+                                           self.byte_encoder)
+        if self._native is not None and text.isascii():
+            ids = self._native.encode_ascii(text)
+            if ids is not None:
+                if add_special:
+                    ids = [self.bos_token_id] + ids + [self.eos_token_id]
+                return ids
+        ids = []
         for token in _PAT.findall(text):
             token_bytes = token.encode("utf-8")
             mapped = "".join(self.byte_encoder[b] for b in token_bytes)

@@ -1,6 +1,7 @@
 """Tokenizer and report-assembly tests."""
 
 import numpy as np
+import pytest
 
 from rgrg_tpu.text.tokenizer import GPT2Tokenizer, ENDOFTEXT, _bytes_to_unicode
 from rgrg_tpu.text.report import (assemble_report, remove_duplicate_sentences,
@@ -174,3 +175,66 @@ class TestReportAssembly:
 
         out = remove_duplicate_sentences(sents, sim)
         assert out == ["Aaaaaaaaaa.", "Cc."]
+
+
+class TestNativeBpe:
+    """C++ encoder (native/bpe.cc) == Python path == HF oracle."""
+
+    @pytest.fixture
+    def vocab(self, tmp_path):
+        import json
+        byte_enc = _bytes_to_unicode()
+        encoder = {t: i for i, t in enumerate(sorted(set(byte_enc.values())))}
+        for m in ("he", "ar", "hear", "ll", "heart"):
+            encoder[m] = len(encoder)
+        encoder[ENDOFTEXT] = len(encoder)
+        merges = [("h", "e"), ("a", "r"), ("he", "ar"), ("l", "l"),
+                  ("hear", "t")]
+        (tmp_path / "vocab.json").write_text(json.dumps(encoder),
+                                             encoding="utf-8")
+        (tmp_path / "merges.txt").write_text(
+            "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges)
+            + "\n", encoding="utf-8")
+        return encoder, merges, tmp_path
+
+    def test_native_matches_python_and_hf(self, vocab):
+        import random
+
+        import transformers
+
+        from rgrg_tpu.text.native_bpe import native_bpe_available
+        if not native_bpe_available():
+            pytest.skip("native/librgrg_host.so not built")
+        encoder, merges, d = vocab
+        tok = GPT2Tokenizer(encoder, merges)
+        tok_py = GPT2Tokenizer(encoder, merges)
+        tok_py._native_tried = True  # pin the Python path
+        hf = transformers.GPT2Tokenizer(str(d / "vocab.json"),
+                                        str(d / "merges.txt"))
+        corpus = [
+            "the heart is normal .",
+            "heartfelt hello fellow llamas",
+            "under_score a_b x __ y",
+            "it's 'll 've n't mixed!?",
+            "", " ", "   ", "a", "\t\n mixed \t ws\n",
+        ]
+        rng = random.Random(1)
+        alpha = "heart l. _'!?,;()0123 \t" * 2
+        corpus += ["".join(rng.choice(alpha) for _ in range(70))
+                   for _ in range(40)]
+        for s in corpus:
+            a = tok.encode(s)
+            assert a == tok_py.encode(s), s
+            assert a == hf.encode(s), s
+
+    def test_native_unicode_fallback(self, vocab):
+        from rgrg_tpu.text.native_bpe import native_bpe_available
+        if not native_bpe_available():
+            pytest.skip("native/librgrg_host.so not built")
+        encoder, merges, _ = vocab
+        tok = GPT2Tokenizer(encoder, merges)
+        tok_py = GPT2Tokenizer(encoder, merges)
+        tok_py._native_tried = True
+        for s in ("café ① röntgen", "naïve ½ dose"):
+            assert tok.encode(s) == tok_py.encode(s), s
+        assert tok._native is not None  # fallback didn't disable native
