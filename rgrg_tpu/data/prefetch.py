@@ -30,14 +30,27 @@ def prefetched(it: Iterable[X], depth: int = 2) -> Iterator[X]:
     Yields the same items in the same order. An exception in the producer
     is re-raised at the consumption point where it would have occurred.
     `depth` bounds host memory: at most `depth` batches exist beyond the
-    one being consumed (DataLoader's prefetch_factor analogue)."""
+    one being consumed (DataLoader's prefetch_factor analogue).
+
+    Abandoning the iterator early (consumer break/raise -> GeneratorExit)
+    releases the producer: its bounded put polls a stop flag, so the
+    thread exits instead of pinning itself plus `depth` buffered batches
+    until process end."""
     q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
     err = []
+    stop = threading.Event()
 
     def produce():
         try:
             for x in it:
-                q.put(x)
+                while True:
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(x, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # re-raised on the consumer side
             err.append(e)
         finally:
@@ -46,14 +59,22 @@ def prefetched(it: Iterable[X], depth: int = 2) -> Iterator[X]:
     t = threading.Thread(target=produce, daemon=True,
                          name="rgrg-prefetch")
     t.start()
-    while True:
-        x = q.get()
-        if x is _SENTINEL:
-            t.join()
-            if err:
-                raise err[0]
-            return
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is _SENTINEL:
+                t.join()
+                if err:
+                    raise err[0]
+                return
+            yield x
+    finally:
+        stop.set()
+        while True:  # drain so a put-blocked producer can reach the flag
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def prefetched_factory(factory: Callable[[], Iterable[X]],

@@ -132,7 +132,12 @@ def _lut_uint8(image: np.ndarray, lut: np.ndarray) -> np.ndarray:
 
 def adjust_brightness_uint8(image: np.ndarray, factor: float) -> np.ndarray:
     """albumentations 1.1.0 adjust_brightness_torchvision for uint8:
-    LUT = clip(arange(256) * factor)."""
+    LUT = clip(arange(256) * factor). The float32 LUT matches the
+    library's _multiply_uint8_optimized (which allocates its table as
+    float32, unlike the contrast helper's float64 arange) — the library
+    itself is asymmetric here. If 1.1.0's brightness actually computed in
+    f64, ~0.07% of factor draws would differ by one uint8 step; not
+    resolvable offline (library not installable)."""
     if factor == 0:
         return np.zeros_like(image)
     if factor == 1:
@@ -201,16 +206,22 @@ def transform_boxes_affine(boxes: np.ndarray, m: np.ndarray) -> np.ndarray:
                           axis=-1).astype(np.float32)
 
 
-def filter_boxes(boxes: np.ndarray, size: int):
-    """albumentations BboxProcessor.postprocess with the reference's
-    default BboxParams (min_area=0, min_visibility=0): clip each box to the
-    final image bounds and DROP boxes whose clipped area is zero (fully
-    outside). Returns (clipped boxes, keep mask) — the reference dataset
-    sees the dropped box vanish from the bboxes/class_labels lists
-    (custom_image_dataset_object_detector.py:33-37)."""
+def filter_boxes(boxes: np.ndarray, width: int, height: Optional[int] = None):
+    """albumentations bbox clip-and-filter with the reference's default
+    BboxParams (min_area=0, min_visibility=0): clip each box to the given
+    frame and DROP boxes whose clipped area is zero (fully outside).
+    Runs after EACH geometric transform (BboxParams default
+    check_each_transform=True) and once more as postprocess — the
+    reference dataset sees a dropped box vanish from the
+    bboxes/class_labels lists
+    (custom_image_dataset_object_detector.py:33-37).
+    Returns (all boxes clipped, keep mask)."""
+    if height is None:
+        height = width
     if not len(boxes):
         return boxes, np.zeros((0,), bool)
-    clipped = np.clip(boxes, 0, size).astype(np.float32)
+    clipped = np.clip(boxes, 0, [width, height, width, height]
+                      ).astype(np.float32)
     keep = ((clipped[:, 2] - clipped[:, 0]) *
             (clipped[:, 3] - clipped[:, 1])) > 0
     return clipped, keep
@@ -262,8 +273,15 @@ def train_transform(image: np.ndarray, boxes: np.ndarray,
         if len(boxes):
             boxes = transform_boxes_affine(boxes, m)
 
+    # BboxParams(check_each_transform=True) default: boxes clip/filter
+    # against the CURRENT frame after each geometric transform — after
+    # Affine that is the PRE-PAD (h, w) frame, so a box pushed past the
+    # resized edge clips before the center shift (clipping at 512 only
+    # would leave it up to pad-width wider, into the zero padding)
+    boxes, keep = filter_boxes(boxes, w, h)
     image, boxes = pad_to_square(image, cfg.image_size, boxes)
-    boxes, keep = filter_boxes(boxes, cfg.image_size)
+    boxes, keep2 = filter_boxes(boxes, cfg.image_size)
+    keep &= keep2
     image = normalize(image, cfg)
     return image[..., None], boxes[keep], keep
 

@@ -36,10 +36,13 @@ from rgrg_tpu.models.detector import RegionDetector
 def ladder_budget(n: int) -> int:
     """Smallest {2^k, 3*2^k}-ladder value >= n (8, 12, 16, 24, 32, 48, ...).
 
-    The shared static-size ladder: decode row budgets (budget_for) and
-    post-NMS proposal budgets (bench certify_budget,
-    scripts/validate_proposal_budget.py) pick from the same sequence so the
-    set of compiled graph shapes stays small while padding waste is <=33%.
+    The shared static-size ladder: decode row budgets (budget_for) and the
+    bench's self-certified post-NMS proposal budget (bench certify_budget)
+    pick from this sequence so the set of compiled graph shapes stays
+    small while padding waste is <=33%. (scripts/validate_proposal_budget
+    certifies whatever explicit --budgets list it is given — the round-2
+    artifact validated 600/300/150, not ladder values; the certification
+    RULE budget >= survivors_max is what transfers.)
     """
     budget = 8
     while budget < n:
@@ -393,19 +396,13 @@ class RGRG:
         det = self.detect(params, images)
         sel = (det["selected_regions"] if selection_override is None
                else jnp.asarray(selection_override))
-        num_selected = int(jnp.sum(sel))  # one scalar readback
-        b = images.shape[0]
-        r_budget = self.budget_for(num_selected, b)
-
-        if num_beams == 1:
-            output_ids, decoded_mask = self.decode_selected_cascade(
-                params, det["region_features"], sel, max_length,
-                precision=precision)
-        else:
-            output_ids, decoded_mask = self.decode_selected(
-                params, det["region_features"], sel, r_budget, max_length,
-                precision=precision, num_beams=num_beams,
-                early_stopping=early_stopping)
+        num_selected = int(jnp.sum(sel))  # the one unavoidable readback:
+        # forwarded as first_count so the cascade's first rung doesn't pay
+        # a second host sync for the same value
+        output_ids, decoded_mask = self.decode_selected_cascade(
+            params, det["region_features"], sel, max_length,
+            precision=precision, first_count=num_selected,
+            num_beams=num_beams, early_stopping=early_stopping)
         return {
             "output_ids": output_ids,            # [B, 29, L]
             "selected_regions": np.asarray(sel),

@@ -84,15 +84,17 @@ def generate_reports_pipelined(gen: ReportGenerator,
     over lax.map'd sub-batches of this size inside the same graph — lets
     batch_size exceed the detector's OOM point (B=128 on v5e) so the
     decode bucket amortizes further. Identical numerics.
-    length_bucket_cascade: greedy decode runs through the static
+    length_bucket_cascade: decode (greedy OR beam) runs through the static
     length-bucket ladder (decode everything at a short cache, re-decode
     only rows that hit the cap at the next bucket — each decode step
     attends over the FULL static cache buffer, so serving the reference's
     max_length=300 directly would cost ~5x the HBM traffic of a 64-slot
-    bucket even though ~95% of region sentences are <60 tokens). Greedy is
-    prefix-deterministic, so reports are identical; costs one extra sync
-    per extra bucket actually used. Inactive when max_length already fits
-    the first bucket, and for beam (not prefix-consistent across caps).
+    bucket even though ~95% of region sentences are <60 tokens). Reports
+    are identical to the full-length decode: greedy by prefix determinism,
+    beam by the closed-search (`done`) criterion — see
+    decode_selected_cascade's docstring. Costs one extra sync per extra
+    bucket actually used; inactive when max_length already fits the first
+    bucket.
     mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
     are replicated once, image batches are uploaded batch-sharded over the
     mesh's leading axis, and every jitted stage runs SPMD with XLA placing
@@ -281,10 +283,10 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     ids = jnp.pad(ids, ((0, 0), (0, 0),
                                         (0, max_length - b1)),
                                   constant_values=pad_id)
-                    rem = host_sel & dec1 & (last_col != pad_id)
+                    unfin = last_col != pad_id
                     if done1 is not None:
-                        rem = host_sel & dec1 & ((last_col != pad_id)
-                                                 | ~done1)
+                        unfin |= ~done1
+                    rem = host_sel & dec1 & unfin
                     if rem.any():
                         rest = buckets[1:] or (max_length,)
                         ids2, dec2 = gen.model.decode_selected_cascade(

@@ -348,3 +348,44 @@ class TestPrefetchAndWorkers:
         e1 = list(ds.batches(2, workers=3))  # epoch counter advanced
         assert any((x["images"] != y["images"]).any()
                    for x, y in zip(e0, e1))
+
+
+def test_train_boxes_clip_at_prepad_frame():
+    """check_each_transform semantics: after Affine, boxes clip against
+    the PRE-PAD resized frame, so padded-in coordinates can never exceed
+    resized-extent + pad-shift (a 512-only clip would allow boxes to leak
+    into the zero padding)."""
+    img = np.random.default_rng(0).integers(0, 255, (700, 600)
+                                            ).astype(np.uint8)
+    # box touching the right edge of the 600-wide image
+    boxes = np.array([[560, 100, 600, 400], [0, 0, 600, 700]], np.float32)
+    scaled_w = round(600 * 512 / 700)            # 439
+    left = (512 - scaled_w) // 2                 # 36
+    for seed in range(30):
+        _, b, keep = T.train_transform(img, boxes,
+                                       np.random.default_rng(seed))
+        assert (b[:, 0] >= left).all() and (b[:, 2] <= scaled_w + left).all(), \
+            (seed, b)
+
+
+def test_prefetched_releases_producer_on_abandon():
+    import threading
+    import time
+
+    from rgrg_tpu.data.prefetch import prefetched
+
+    def gen():
+        for i in range(10_000):
+            yield i
+
+    it = prefetched(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-epoch
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "rgrg-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "rgrg-prefetch" and t.is_alive()
+                   for t in threading.enumerate()), "producer leaked"
