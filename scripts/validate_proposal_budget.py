@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--time-detect", type=int, default=0, metavar="B",
                     help="also time detect at batch B: budget None vs the "
                          "smallest safe budget (quantifies the serving win)")
+    ap.add_argument("--ladder", action="store_true",
+                    help="additionally certify ladder_budget(survivors_max)"
+                         " — the exact value bench.certify_budget would "
+                         "serve for this checkpoint")
     args = ap.parse_args()
 
     if args.shallow:
@@ -162,6 +166,21 @@ def main():
 
     def detect_with(budget, images):
         return model_with(budget).detect(params, images)
+
+    if args.ladder:
+        # pre-measure survivors on an independent draw and add the ladder
+        # value certify_budget would pick (rule: budget >= survivors_max)
+        from rgrg_tpu.models.full_model import ladder_budget
+        rng_l = np.random.default_rng(12345)
+        smax = max(int(np.asarray(survivors(
+            synth_batch(rng_l, args.batch)["images"])).max())
+            for _ in range(args.eval_batches))
+        lb = ladder_budget(smax)
+        if (lb < int(cfg.detector.rpn.post_nms_top_n_test)
+                and lb not in args.budgets):
+            print(f"ladder: survivors_max {smax} -> certifying budget {lb}",
+                  file=sys.stderr)
+            args.budgets.append(lb)
 
     counts, agreements = [], {b: {"boxes": [], "cls": []} for b in args.budgets}
     for _ in range(args.eval_batches):
