@@ -1,0 +1,43 @@
+"""bench.py control-flow smoke on the tiny model.
+
+The driver executes bench.py at round end on the real TPU; a crash there
+loses the round's benchmark. This pins the full calibrate -> certify ->
+serve plumbing (including the classifier-driven branch, which exercises
+serving's readback path) on CPU with every scale knob shrunk. Timing
+numbers are meaningless here — only that every stage runs.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import bench
+from rgrg_tpu.models.full_model import RGRG
+
+from tests.test_full_model import SMOKE_CFG
+
+
+@pytest.fixture(autouse=True)
+def _shrink(monkeypatch):
+    monkeypatch.setattr(bench, "BATCH", 4)
+    monkeypatch.setattr(bench, "PRODUCT_BATCH", 4)
+    monkeypatch.setattr(bench, "PRODUCT_IMAGES", 8)
+    monkeypatch.setattr(bench, "REGIONS_PER_IMAGE", 2)
+    monkeypatch.setattr(bench, "SENT_TOKENS", 8)
+
+
+def test_calibrate_certify_and_classifier_driven_product():
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+
+    cal = bench.calibrate_selection_threshold(model, params)
+    assert np.isfinite(cal.cfg.classifier.logit_threshold)
+
+    # random weights: survivors fill post-NMS capacity, so certification
+    # correctly declines (budget None) and serving stays unbudgeted
+    budget, served = bench.certify_budget(cal, params)
+    assert budget is None or budget < int(
+        served.cfg.detector.rpn.post_nms_top_n_test)
+
+    rps = bench.bench_product_classifier_driven(served, params)
+    assert rps > 0
