@@ -4,6 +4,7 @@ params replicated, outputs match single-device results."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from rgrg_tpu.core import mesh as mesh_lib
 from rgrg_tpu.models.full_model import RGRG
@@ -37,19 +38,27 @@ def test_mesh_clamps_to_batch():
     assert mesh.size in (1, 3)
 
 
-def test_mesh_serving_matches_single_device(tmp_path):
+@pytest.mark.parametrize("num_beams,max_length", [(1, 6), (3, 12)])
+def test_mesh_serving_matches_single_device(tmp_path, num_beams, max_length):
     """Data-parallel serving through the real pipeline: params replicated,
     batches sharded over a 2-device mesh; reports identical to unsharded
-    serving, including a padded final partial batch (5 images, batch 4)."""
+    serving, including a padded final partial batch (5 images, batch 4).
+    The beam case also routes through the length-bucket cascade (buckets
+    (4, 12) < max_length) so DP + beam + cascade compose."""
+    import dataclasses
+
     import cv2
 
+    from rgrg_tpu.core.config import GenerationConfig
     from rgrg_tpu.inference import ReportGenerator
     from rgrg_tpu.serving import generate_reports_pipelined
     from rgrg_tpu.text.tokenizer import GPT2Tokenizer
 
-    model = RGRG(cfg=SMOKE_CFG)
+    cfg = dataclasses.replace(
+        SMOKE_CFG, generation=GenerationConfig(length_buckets=(4, 12)))
+    model = RGRG(cfg=cfg)
     params = model.init(jax.random.PRNGKey(0))
-    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
+    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=cfg)
     paths = []
     for i in range(5):
         p = str(tmp_path / f"i{i}.png")
@@ -57,7 +66,7 @@ def test_mesh_serving_matches_single_device(tmp_path):
                         ).astype(np.uint8))
         paths.append(p)
 
-    kwargs = dict(batch_size=4, num_beams=1, max_length=6,
+    kwargs = dict(batch_size=4, num_beams=num_beams, max_length=max_length,
                   kv_cache_dtype=None)
     base = [r for chunk in generate_reports_pipelined(gen, paths, **kwargs)
             for r in chunk]
