@@ -150,7 +150,7 @@ def certify_budget(model, params):
     # step on a vanishing pixel fraction; certification must match serving);
     # certification chunks stay at 32 to bound detector HBM
     from rgrg_tpu.ops.resize import device_preprocess
-    u8_mats = [gen.preprocess_raw(raw[i:i + BATCH])
+    u8_mats = [gen.preprocess_raw(raw[i:i + BATCH])[0]
                for i in range(0, len(raw), BATCH)]
     dtype = jnp.bfloat16 if model.cfg.detector.dtype == "bfloat16" \
         else jnp.float32

@@ -117,21 +117,23 @@ class ReportGenerator:
     def preprocess_raw(self, images: Sequence[Union[str, np.ndarray]],
                        sharding=None):
         """Device-resize fast path: paths or uint8 arrays ->
-        (raw [B, H, W] uint8 on device, (wy, wx)) when the whole batch
-        shares one shape; None otherwise (caller falls back to the host
-        pipeline). Shrinks the 1-core host's per-batch work to a uint8
-        np.stack and moves resize+pad+normalize onto the MXU.
+        ((raw [B, H, W] uint8 on device, (wy, wx)), None) when the whole
+        batch shares one shape; (None, loaded arrays) otherwise — the
+        caller falls back to the host pipeline WITH the already-decoded
+        arrays (re-reading the files would double image I/O per
+        mixed-shape batch on the 1-core host). Shrinks per-batch host work
+        to a uint8 np.stack and moves resize+pad+normalize onto the MXU.
         sharding: optional batch sharding for data-parallel serving."""
         arrays = [T.load_image(im) if isinstance(im, str) else im
                   for im in images]
         shape = arrays[0].shape
         if any(a.shape != shape or a.dtype != np.uint8 or a.ndim != 2
                for a in arrays):
-            return None
+            return None, arrays
         stacked = np.stack(arrays)
         batch = (jax.device_put(stacked, sharding) if sharding is not None
                  else jnp.asarray(stacked))
-        return batch, self._resize_mats(shape)
+        return (batch, self._resize_mats(shape)), None
 
     def generate_reports(self, images: Sequence[Union[str, np.ndarray]],
                          num_beams: Optional[int] = None,

@@ -159,9 +159,10 @@ def generate_reports_pipelined(gen: ReportGenerator,
             # be the one that OOMs)
             batch = list(batch) + [batch[-1]] * (batch_size - len(batch))
         if device_resize:
-            raw = gen.preprocess_raw(batch, sharding=shard)
+            raw, arrays = gen.preprocess_raw(batch, sharding=shard)
             if raw is not None:
                 return raw  # (uint8 [B, H, W] on device, (wy, wx))
+            batch = arrays  # mixed shapes: reuse the decoded images
         return gen.preprocess(
             batch, transfer_dtype=jnp.bfloat16 if bf16_upload else None,
             sharding=shard)
@@ -196,7 +197,13 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 # on detect(i+1) while the host waits out the ~27 ms tunnel
                 # fetch + bucket pick below — without this the device idles
                 # at every readback (measured 43.6 -> 55+ r/s at B=32).
-                if i + 1 < len(batches):
+                # Only when preprocess(i+1) ALREADY finished: blocking on
+                # its .result() here would serialize host preprocess into
+                # the device critical path whenever preprocess is the slow
+                # stage (mixed-shape batches on the host pipeline) — in
+                # that case batch i+1's detect dispatches next iteration
+                # as usual.
+                if i + 1 < len(batches) and pre_futures[i + 1].done():
                     nxt = pre_futures[i + 1].result()
                     nxt_imgs, nxt_mats = (nxt if isinstance(nxt, tuple)
                                           else (nxt, None))

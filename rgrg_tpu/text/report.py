@@ -41,8 +41,20 @@ _ABBREVIATIONS = {
 # A standalone 1-2 digit enumerator at the start of a segment ("2. Stable
 # appearance.") is a list marker, not a sentence of its own.
 _ENUMERATOR = re.compile(r"\d{1,2}")
-# A single letter before '.' is an initial ("A. Smith"), not a sentence end.
+# A single letter before '.' MAY be a name initial ("A. Smith") — but
+# single-letter medical terms end sentences too ("hepatitis B.",
+# "vitamin D."), so the initial reading only wins when the next word
+# doesn't look like a sentence opener (see _SENTENCE_STARTERS).
 _INITIAL = re.compile(r"[A-Za-z]")
+_WORD = re.compile(r"[A-Za-z]+")
+# Function words + articles that open sentences but essentially never
+# follow a name initial: "hepatitis B. The lungs ..." splits, "A. Jones"
+# doesn't.
+_SENTENCE_STARTERS = frozenset({
+    "The", "There", "This", "That", "These", "Those", "No", "A", "An",
+    "It", "In", "On", "At", "Of", "Is", "Are", "Was", "Were", "If", "As",
+    "For", "With", "By", "To", "Not", "Again", "Otherwise", "Overall",
+})
 
 
 def split_sentences(text: str) -> List[str]:
@@ -70,8 +82,14 @@ def split_sentences(text: str) -> List[str]:
         last = words[-1] if words else ""
         if last.endswith("."):
             word = last[:-1].lower()
-            if word in _ABBREVIATIONS or _INITIAL.fullmatch(word):
+            if word in _ABBREVIATIONS:
                 continue
+            if _INITIAL.fullmatch(word) and last[:-1].isupper():
+                # uppercase single letter: initial ("A. Jones") unless the
+                # next word opens a sentence ("hepatitis B. The lungs...")
+                nxt = _WORD.match(text[m.end():])
+                if not nxt or nxt.group(0) not in _SENTENCE_STARTERS:
+                    continue
             if len(words) == 1 and _ENUMERATOR.fullmatch(word):
                 continue  # "2." opening the segment: list marker
         parts.append(segment)

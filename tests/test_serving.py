@@ -193,3 +193,40 @@ def test_pipelined_cascade_matches_full_decode(setup, num_beams):
             assert a.region_sentences == b.region_sentences
             np.testing.assert_array_equal(a.selected_regions,
                                           b.selected_regions)
+
+
+def test_mixed_shape_batch_falls_back_and_matches(setup, tmp_path):
+    """A batch with heterogeneous image shapes can't use device resize;
+    the fallback must reuse the already-decoded arrays (no double file
+    read) and produce the same reports as the host-preprocess path."""
+    import cv2
+
+    gen, paths = setup
+    p2 = str(tmp_path / "other_shape.png")
+    cv2.imwrite(p2, (np.random.default_rng(9).uniform(0, 255, (700, 640))
+                     ).astype(np.uint8))
+    mixed = [paths[0], p2]
+    kwargs = dict(batch_size=2, num_beams=1, max_length=6,
+                  kv_cache_dtype=None)
+    a = [r for chunk in generate_reports_pipelined(
+        gen, mixed, device_resize=True, **kwargs) for r in chunk]
+    b = [r for chunk in generate_reports_pipelined(
+        gen, mixed, device_resize=False, **kwargs) for r in chunk]
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        assert x.report == y.report
+
+
+def test_preprocess_raw_returns_arrays_on_fallback(setup, tmp_path):
+    import cv2
+
+    gen, paths = setup
+    p2 = str(tmp_path / "odd.png")
+    cv2.imwrite(p2, (np.random.default_rng(3).uniform(0, 255, (123, 77))
+                     ).astype(np.uint8))
+    raw, arrays = gen.preprocess_raw([paths[0], p2])
+    assert raw is None
+    assert len(arrays) == 2 and arrays[1].shape == (123, 77)
+    # same-shape batch: fast path active, no arrays returned
+    raw2, arrays2 = gen.preprocess_raw([paths[0], paths[1]])
+    assert raw2 is not None and arrays2 is None

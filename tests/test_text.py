@@ -116,6 +116,12 @@ class TestReportAssembly:
             # single-letter initial
             ("Reviewed by A. Jones. The lungs are clear.",
              ["Reviewed by A. Jones.", "The lungs are clear."]),
+            # single-letter medical terms DO end sentences: the initial
+            # reading only wins when the next word isn't a sentence opener
+            ("History of hepatitis B. The lungs are clear.",
+             ["History of hepatitis B.", "The lungs are clear."]),
+            ("Low vitamin D. No acute process.",
+             ["Low vitamin D.", "No acute process."]),
             # numbered list: marker stays attached to its item
             ("1. No acute disease. 2. Stable cardiomegaly.",
              ["1. No acute disease.", "2. Stable cardiomegaly."]),
