@@ -81,19 +81,26 @@ def main():
                 return greedy_generate(params, f, dec, max_length=L,
                                        cache_dtype=kv)
         run(feats).block_until_ready()   # compile
-        reps = 3
+        reps = 5
         # vary inputs per rep (axon protocol: identical dispatches can
-        # draw fake times); one scalar fetch per rep forces completion
+        # draw fake times); one scalar fetch per rep forces completion.
+        # Time reps INDIVIDUALLY and take the best: single tunnel fetches
+        # occasionally stall for tens of seconds (measured a 45.8 s fetch
+        # amid 0.25 s siblings), which poisons a mean — the min over reps
+        # is the least-noisy estimate of the per-step cost
         inputs = [feats * (1.0 + 0.01 * r) for r in range(reps)]
-        t0 = time.perf_counter()
+        times = []
         for f in inputs:
+            t0 = time.perf_counter()
             float(jnp.sum(run(f)[:, -1]))
-        dt = (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
         steps = L - 2
         results[str(L)] = {"total_s": round(dt, 4),
-                           "per_step_ms": round(dt / steps * 1e3, 3)}
-        print(f"cache {L}: {dt:.3f} s total, "
-              f"{dt / steps * 1e3:.3f} ms/step", file=sys.stderr)
+                           "per_step_ms": round(dt / steps * 1e3, 3),
+                           "rep_times_s": [round(t, 3) for t in times]}
+        print(f"cache {L}: best {dt:.3f} s of {reps} "
+              f"({dt / steps * 1e3:.3f} ms/step)", file=sys.stderr)
 
     if len(args.buckets) > 1:
         base = results[str(args.buckets[0])]["per_step_ms"]
