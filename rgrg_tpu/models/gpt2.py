@@ -157,10 +157,16 @@ def _positions_embed(params: Params, position_ids: jnp.ndarray,
     return table[position_ids]
 
 
+def _apply_dropout(t: jnp.ndarray, rate: float, key: jax.Array) -> jnp.ndarray:
+    keep = jax.random.bernoulli(key, 1.0 - rate, t.shape)
+    return jnp.where(keep, t / (1.0 - rate), 0.0)
+
+
 def forward_full(params: Params, input_ids: jnp.ndarray,
                  attention_mask: jnp.ndarray, image_features: jnp.ndarray,
                  cfg: DecoderConfig, precision=None,
-                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 dropout_rng: Optional[jax.Array] = None,
+                 remat: bool = False) -> jnp.ndarray:
     """Teacher-forced forward over full sequences.
 
     input_ids/attention_mask: [B, S]; image_features: [B, 1024] (raw region
@@ -168,32 +174,34 @@ def forward_full(params: Params, input_ids: jnp.ndarray,
     language_model.py:284), or None for vanilla GPT-2 attention (no image
     slot; used for converter validation and plain-LM scoring).
     Returns lm_logits [B, S, vocab].
+
+    remat=True checkpoints each transformer block (jax.checkpoint): only the
+    per-layer residual inputs are saved for backward, block internals (qkv,
+    attention weights, 4x-wide MLP hidden) are recomputed — the standard
+    memory/FLOPs trade that lets the full 24-layer GPT-2 Medium train step
+    fit one v5e chip's HBM. Forward-only callers never need it.
     """
     b, s = input_ids.shape
     with_image = image_features is not None
     if with_image:
         img = feature_transform(params, image_features, precision)[:, None, :]  # [B,1,D]
+    else:
+        img = None
 
     # training dropout (reference: embd/attn/resid p=0.1,
-    # language_model.py:56-57,222); inference passes no rng -> deterministic
-    if dropout_rng is not None:
-        drop_keys = iter(jax.random.split(dropout_rng, 1 + 3 * cfg.num_layers))
-
-        def dropout(t, rate):
-            keep = jax.random.bernoulli(next(drop_keys), 1.0 - rate, t.shape)
-            return jnp.where(keep, t / (1.0 - rate), 0.0)
-
-        def attn_dropout(w):
-            return dropout(w, cfg.attn_dropout)
-    else:
-        def dropout(t, rate):
-            return t
-
-        attn_dropout = None
+    # language_model.py:56-57,222); inference passes no rng -> deterministic.
+    # Keys are pre-split into an array so each block body takes its keys as
+    # traced args (jax.checkpoint recomputes the same bernoulli draws).
+    use_dropout = dropout_rng is not None
+    if use_dropout:
+        all_keys = jax.random.split(dropout_rng, 1 + 3 * cfg.num_layers)
+        embd_key = all_keys[0]
+        layer_keys = all_keys[1:].reshape((cfg.num_layers, 3) + all_keys[0].shape)
 
     position_ids = jnp.arange(s)[None, :]
     x = params["wte"]["embedding"][input_ids] + _positions_embed(params, position_ids, cfg)
-    x = dropout(x, cfg.embd_dropout)
+    if use_dropout:
+        x = _apply_dropout(x, cfg.embd_dropout, embd_key)
 
     # bias [B, 1, S, (1+)S]: causal (image column always visible) + padding
     causal = jnp.tril(jnp.ones((s, s), bool))
@@ -205,21 +213,36 @@ def forward_full(params: Params, input_ids: jnp.ndarray,
     bias = jnp.where(causal[None, None], 0.0, MASK_VALUE)
     bias = bias + (1.0 - pad[:, None, None, :].astype(x.dtype)) * MASK_VALUE
 
-    for i in range(cfg.num_layers):
-        bp = params[f"h_{i}"]
+    def block(x, bp, img, bias, keys):
         if with_image:
             image_kv = (_dense(img, bp["attn"]["uk"], precision),
                         _dense(img, bp["attn"]["uv"], precision))
         else:
             image_kv = None
+        if use_dropout:
+            def attn_dropout(w):
+                return _apply_dropout(w, cfg.attn_dropout, keys[0])
+        else:
+            attn_dropout = None
         a = _block_attn_full(bp["attn"], _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps),
                              image_kv, bias, cfg, precision,
                              attn_dropout=attn_dropout)
-        x = x + dropout(a, cfg.resid_dropout)
+        if use_dropout:
+            a = _apply_dropout(a, cfg.resid_dropout, keys[1])
+        x = x + a
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
         m = _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),
                    bp["mlp"]["c_proj"], precision)
-        x = x + dropout(m, cfg.resid_dropout)
+        if use_dropout:
+            m = _apply_dropout(m, cfg.resid_dropout, keys[2])
+        return x + m
+
+    if remat:
+        block = jax.checkpoint(block)
+
+    for i in range(cfg.num_layers):
+        x = block(x, params[f"h_{i}"], img, bias,
+                  layer_keys[i] if use_dropout else None)
 
     x = _layer_norm(x, params["ln_f"], cfg.layer_norm_eps)
     return jnp.dot(x, params["wte"]["embedding"].T, precision=precision)

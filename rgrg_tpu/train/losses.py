@@ -173,7 +173,8 @@ def classifier_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 def lm_loss_selected(decoder_params, input_ids: jnp.ndarray,
                      attention_mask: jnp.ndarray, region_features: jnp.ndarray,
                      seq_valid: jnp.ndarray, cfg, budget: int,
-                     precision=None, dropout_rng=None) -> jnp.ndarray:
+                     precision=None, dropout_rng=None,
+                     remat: bool = False) -> jnp.ndarray:
     """LM loss over the compacted set of valid region sequences.
 
     input_ids/attention_mask: [B, 29, S]; region_features: [B, 29, F];
@@ -197,12 +198,16 @@ def lm_loss_selected(decoder_params, input_ids: jnp.ndarray,
     feats = flat_feats[idx]
 
     logits = gpt2.forward_full(decoder_params, ids, mask, feats, cfg, precision,
-                               dropout_rng=dropout_rng)
-    shift_logits = logits[:, :-1, :]
+                               dropout_rng=dropout_rng, remat=remat)
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
     shift_labels = ids[:, 1:]
     shift_valid = mask[:, 1:].astype(bool)
 
-    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)[..., 0]
-    nll = jnp.where(shift_valid, nll, 0.0)
+    # CE as logsumexp - picked logit: avoids materializing the full [N,S,V]
+    # log-softmax tensor (the vocab-wide logp was the single largest training
+    # activation at V=50257); identical value and gradient.
+    lse = jax.nn.logsumexp(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(shift_logits, shift_labels[..., None],
+                                 axis=-1)[..., 0]
+    nll = jnp.where(shift_valid, lse - picked, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(shift_valid), 1)

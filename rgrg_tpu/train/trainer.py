@@ -138,7 +138,8 @@ def make_optimizer(params: Dict[str, Any], tcfg: TrainConfig, stage: int,
 
 def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
                    rng: jax.Array, stage: int, tcfg: TrainConfig,
-                   lm_budget: int, precision=None, train: bool = True):
+                   lm_budget: int, precision=None, train: bool = True,
+                   mixed_precision: bool = False, remat_decoder: bool = False):
     """Returns (total, loss dict, new batch_stats).
 
     train=False gives torch eval() loss semantics (the reference computes
@@ -147,7 +148,15 @@ def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
     BN uses running stats (and batch_stats are NOT updated) and dropout is
     off, so the same batch always yields the same loss. The fg/bg proposal
     sampling rng still applies in both modes — torch's fg_bg_sampler uses
-    randperm regardless of the training flag."""
+    randperm regardless of the training flag.
+
+    mixed_precision=True casts the decoder's f32 params to bf16 for the
+    forward (masters stay f32 in the optimizer; astype's transpose returns
+    f32 grads) — the TPU analog of the reference's fp16 AMP autocast
+    (train_full_model.py:172,211). remat_decoder checkpoints each GPT-2
+    block (see gpt2.forward_full). Both matter only for the full-scale
+    24x1024 decoder; detector mixed precision is the DetectorConfig.dtype
+    knob instead (flax compute dtype)."""
     det = model.detector
     variables = params["detector"]
     rng_det, rng_drop = jax.random.split(rng)
@@ -173,11 +182,25 @@ def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
 
     if stage >= 3:
         seq_valid = aux["class_detected"] & batch["region_has_sentence"].astype(bool)
-        lm = L.lm_loss_selected(params["decoder"], batch["input_ids"],
+        dec_params = params["decoder"]
+        # requires_grad=False on the GPT-2 base (language_model.py:208-209):
+        # stop_gradient skips the dW matmuls for frozen weights (the
+        # activation-gradient flow to uk/uv/feature_transform is unaffected);
+        # the optimizer's set_to_zero partition already discards these grads,
+        # so this only removes dead backward work, never changes updates.
+        tmask = decoder_trainable_mask(dec_params)
+        dec_params = jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p), dec_params, tmask)
+        if mixed_precision:
+            dec_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, dec_params)
+        lm = L.lm_loss_selected(dec_params, batch["input_ids"],
                                 batch["attention_mask"], aux["region_features"],
                                 seq_valid, model.cfg.decoder, lm_budget,
                                 precision=precision,
-                                dropout_rng=rng_drop if train else None)
+                                dropout_rng=rng_drop if train else None,
+                                remat=remat_decoder)
         losses["loss_lm"] = lm
         total = total + tcfg.loss_weight_lm * lm
 
@@ -186,7 +209,8 @@ def compute_losses(model: RGRG, params: Dict[str, Any], batch: Dict[str, Any],
 
 
 def make_train_step(model: RGRG, tcfg: TrainConfig, optimizer,
-                    stage: int = 3, lm_budget: int = 128, precision=None):
+                    stage: int = 3, lm_budget: int = 128, precision=None,
+                    mixed_precision: bool = False, remat_decoder: bool = False):
     """Builds a jitted DP train step.
 
     batch leaves are sharded over the mesh "data" axis by the caller
@@ -198,7 +222,8 @@ def make_train_step(model: RGRG, tcfg: TrainConfig, optimizer,
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         def loss_fn(params):
             total, losses, new_stats = compute_losses(
-                model, params, batch, rng, stage, tcfg, lm_budget, precision)
+                model, params, batch, rng, stage, tcfg, lm_budget, precision,
+                mixed_precision=mixed_precision, remat_decoder=remat_decoder)
             return total, (losses, new_stats)
 
         grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)

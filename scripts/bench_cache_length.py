@@ -87,8 +87,9 @@ def main():
         # Time reps INDIVIDUALLY and take the best: single tunnel fetches
         # occasionally stall for tens of seconds (measured a 45.8 s fetch
         # amid 0.25 s siblings), which poisons a mean — the min over reps
-        # is the least-noisy estimate of the per-step cost
-        inputs = [feats * (1.0 + 0.01 * r) for r in range(reps)]
+        # is the least-noisy estimate of the per-step cost. r+1 so no
+        # rep matches the warmup input (identical dispatch = fake time).
+        inputs = [feats * (1.0 + 0.01 * (r + 1)) for r in range(reps)]
         times = []
         for f in inputs:
             t0 = time.perf_counter()
@@ -102,16 +103,17 @@ def main():
         print(f"cache {L}: best {dt:.3f} s of {reps} "
               f"({dt / steps * 1e3:.3f} ms/step)", file=sys.stderr)
 
+    summary = {"rows": args.rows, "beams": args.beams, "kv": args.kv,
+               "shallow": args.shallow, "buckets": results}
     if len(args.buckets) > 1:
         base = results[str(args.buckets[0])]["per_step_ms"]
         top = results[str(args.buckets[-1])]["per_step_ms"]
-        results["per_step_ratio_largest_vs_smallest"] = round(top / base, 2)
-    summary = {"rows": args.rows, "beams": args.beams, "kv": args.kv,
-               "shallow": args.shallow, "buckets": results}
+        summary["per_step_ratio_largest_vs_smallest"] = round(top / base, 2)
     print(json.dumps(summary, indent=2))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":
