@@ -47,13 +47,24 @@ _ENUMERATOR = re.compile(r"\d{1,2}")
 # doesn't look like a sentence opener (see _SENTENCE_STARTERS).
 _INITIAL = re.compile(r"[A-Za-z]")
 _WORD = re.compile(r"[A-Za-z]+")
-# Function words + articles that open sentences but essentially never
-# follow a name initial: "hepatitis B. The lungs ..." splits, "A. Jones"
-# doesn't.
+# Words that open sentences but essentially never follow a name initial:
+# "hepatitis B. The lungs ..." splits, "A. Jones" doesn't. Function words +
+# the common radiology sentence openers (anatomy, change-language) — on the
+# constructed-boundary corpus (scripts/measure_sentencizer_divergence.py)
+# the radiology set removes the "vitamin D. Lungs are clear." class of
+# merges while surnames after an initial stay unsplit (surnames are not
+# openers).
 _SENTENCE_STARTERS = frozenset({
     "The", "There", "This", "That", "These", "Those", "No", "A", "An",
     "It", "In", "On", "At", "Of", "Is", "Are", "Was", "Were", "If", "As",
     "For", "With", "By", "To", "Not", "Again", "Otherwise", "Overall",
+    # radiology openers
+    "Lungs", "Lung", "Heart", "Pulmonary", "Osseous", "Cardiomediastinal",
+    "Mediastinal", "Interval", "Unchanged", "Stable", "Persistent",
+    "Improving", "Worsening", "Increased", "Decreased", "New", "Mild",
+    "Moderate", "Severe", "Small", "Large", "Right", "Left", "Bilateral",
+    "Bibasilar", "Patient", "Comparison", "Lines", "Findings",
+    "Degenerative", "History", "Low", "Normal", "Redemonstration",
 })
 
 
