@@ -334,7 +334,10 @@ def bench_product_classifier_driven(model, params):
             n += len(reports)
         return n
 
-    run(raw[:PRODUCT_BATCH])  # warmup/compile of the recalibrated graph
+    # warmup/compile: TWO batches so both graphs compile — batch 0 runs the
+    # synchronous split path (seeds the budget predictor), batch 1 the
+    # speculative fused detect+decode at the predicted budget
+    run(raw[:2 * PRODUCT_BATCH])
     best = 0.0
     for _ in range(5):
         t0 = time.perf_counter()
@@ -382,6 +385,110 @@ def bench_beam4_product(model, params, batch=None):
         n = run(raw, override)
         best = max(best, n / (time.perf_counter() - t0))
     return best
+
+
+V5E_HBM_PEAK_GBPS = 819.0   # v5e HBM bandwidth (public spec)
+
+
+def _tree_bytes(tree):
+    return int(sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)))
+
+
+def bench_roofline(model, params):
+    """Per-phase device timings + derived bytes-moved per decode step ->
+    achieved fraction of v5e HBM peak (VERDICT r3 #5: makes the 'XLA floor'
+    claims falsifiable numbers instead of mimic-bench prose).
+
+    Bytes model per decode step (the decode loop is memory-bound; compute
+    is a rounding error at these shapes): one full read of the decoder
+    params at their served dtype + one full read of the KV cache at the
+    cache dtype (K and V, every layer, every slot of the static buffer;
+    int8 adds the per-vector scales), activations excluded. Per-step time
+    is total/(steps) over a full bucket decode — random weights never emit
+    EOS, so every row runs all SENT_TOKENS-2 steps. Both greedy and beam-4
+    are measured at 192 feature rows (the device-path shape); beam's cache
+    holds rows*4 beam lanes.
+    """
+    dcfg = model.cfg.decoder
+    dec_bytes = _tree_bytes(params["decoder"])
+    slots = SENT_TOKENS + 1   # static cache: image slot + SENT_TOKENS
+
+    def kv_bytes(cache_rows, itemsize, int8_scales):
+        per = (dcfg.num_layers * cache_rows * dcfg.num_heads * slots
+               * dcfg.head_dim * 2 * itemsize)
+        if int8_scales:
+            per += dcfg.num_layers * cache_rows * dcfg.num_heads * slots * 2 * 4
+        return per
+
+    def best_time(run, reps=5):
+        # axon protocol: vary inputs per rep, force a scalar fetch, take min
+        times = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            run(1.0 + 0.01 * (r + 1))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    out = {"model": "bytes/step = decoder params (served dtype) + full KV "
+                    "buffer read (K+V, all layers/slots); activations "
+                    "excluded", "hbm_peak_gbps": V5E_HBM_PEAK_GBPS}
+
+    # --- detect phase (B=PRODUCT_BATCH, the product-path shape) ---
+    images64 = jax.random.normal(jax.random.PRNGKey(3),
+                                 (PRODUCT_BATCH, 512, 512, 1),
+                                 jnp.float32) * 0.3
+    model.detect(params, images64)["class_detected"].block_until_ready()
+
+    def run_detect(scale):
+        det = model.detect(params, images64 * scale)
+        float(jnp.sum(det["selection_logits"]))
+    out["detect_b64_ms"] = round(best_time(run_detect) * 1e3, 1)
+
+    # --- decode phases at 192 rows ---
+    images32 = images64[:BATCH]
+    det = model.detect(params, images32)
+    feats = det["region_features"]
+    sel = np.zeros((BATCH, 29), bool)
+    sel[:, :REGIONS_PER_IMAGE] = True
+    sel = jnp.asarray(sel)
+    rows = BATCH * REGIONS_PER_IMAGE
+    steps = SENT_TOKENS - 2
+
+    for mode, beams, kv_dtype, cache_rows, itemsize, scales in (
+            ("greedy_int8", 1, jnp.int8, rows, 1, True),
+            ("beam4_bf16", 4, jnp.bfloat16, rows * 4, 2, False)):
+        def run_decode(scale, beams=beams, kv_dtype=kv_dtype):
+            ids, _ = model.decode_selected(
+                params, feats * scale, sel, rows, SENT_TOKENS,
+                num_beams=beams, early_stopping=beams > 1,
+                kv_cache_dtype=kv_dtype)
+            float(jnp.sum(ids[:, :, -1]))
+        run_decode(1.0)   # compile
+        dt = best_time(run_decode)
+        step_ms = dt / steps * 1e3
+        nbytes = dec_bytes + kv_bytes(cache_rows, itemsize, scales)
+        achieved = nbytes / (dt / steps) / 1e9
+        out[mode] = {
+            "rows": rows, "cache_rows": cache_rows,
+            "per_step_ms": round(step_ms, 3),
+            "modeled_gb_per_step": round(nbytes / 1e9, 3),
+            "achieved_gbps": round(achieved, 1),
+            "hbm_fraction": round(achieved / V5E_HBM_PEAK_GBPS, 3),
+        }
+
+    # --- host post phase: tokenizer decode + assembly of one B=64 batch ---
+    tok = GPT2Tokenizer.dummy()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 255, (PRODUCT_BATCH * REGIONS_PER_IMAGE,
+                                SENT_TOKENS)).astype(np.int32)
+    from rgrg_tpu.text.report import assemble_report
+    t0 = time.perf_counter()
+    texts = [tok.decode(row, skip_special_tokens=True) for row in ids]
+    for b in range(PRODUCT_BATCH):
+        assemble_report(texts[b * REGIONS_PER_IMAGE:(b + 1) * REGIONS_PER_IMAGE],
+                        None, 0.9)
+    out["host_post_b64_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    return out
 
 
 def bench_beam4(model, params):
@@ -435,6 +542,7 @@ def main():
     classifier_rps = bench_product_classifier_driven(served, params)
     beam_rps = bench_beam4(model, params)
     beam_product_rps = bench_beam4_product(served, params)
+    roofline = bench_roofline(model, params)
     print(json.dumps({
         "metric": "product_reports_per_sec_per_chip_greedy",
         "value": round(product_rps, 3),
@@ -447,6 +555,7 @@ def main():
         "certified_proposal_budget": budget,
         "product_by_config": {k: round(v, 3)
                               for k, v in product_by_cfg.items()},
+        "roofline": roofline,
     }))
 
 

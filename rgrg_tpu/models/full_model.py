@@ -232,16 +232,27 @@ class RGRG:
         jitted graph. On a tunneled TPU every dispatch costs a host-device
         roundtrip serialized with compute (~27 ms here); the serving
         pipeline's caller-selected path (selection_override) needs no
-        classifier readback between the stages, so it fuses them. The
-        classifier-driven path still runs detect -> budget readback ->
-        decode as two calls. Images may be bf16 (the serving upload dtype
-        when the detector computes in bf16) or f32 — or raw [B, H, W]
-        uint8 with `resize_mats` (preprocessing joins the fused graph).
+        classifier readback between the stages, so it fuses them.
+
+        selected_regions=None decodes the detector's OWN classifier
+        selection (the classifier-driven product flow) in the same fused
+        graph — usable whenever the caller knows a static r_budget without
+        reading the selection count back first, i.e. serving's speculative
+        budget prediction: the readback then becomes a validation-only
+        fetch off the dispatch critical path (serving.py). Rows beyond
+        r_budget are left undecoded exactly as in decode_selected; the
+        caller must check the actual count and re-decode on a budget miss.
+
+        Images may be bf16 (the serving upload dtype when the detector
+        computes in bf16) or f32 — or raw [B, H, W] uint8 with
+        `resize_mats` (preprocessing joins the fused graph).
         """
         det = self.detect(params, images, resize_mats,
                           image_chunk=image_chunk)  # nested jit inlines
+        sel = (det["selected_regions"] if selected_regions is None
+               else selected_regions)
         res = self.decode_selected(
-            params, det["region_features"], selected_regions, r_budget,
+            params, det["region_features"], sel, r_budget,
             max_length, precision=precision, num_beams=num_beams,
             early_stopping=early_stopping, kv_cache_dtype=kv_cache_dtype,
             mesh=mesh, return_done=return_done)
@@ -249,6 +260,7 @@ class RGRG:
         out = {
             "output_ids": ids,
             "decoded_mask": decoded,
+            "selected_regions": sel,
             "class_detected": det["class_detected"],
             "top_region_boxes": det["top_region_boxes"],
             "selection_logits": det["selection_logits"],

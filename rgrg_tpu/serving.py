@@ -67,6 +67,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                detect_image_chunk: Optional[int] = None,
                                mesh=None,
                                length_bucket_cascade: bool = True,
+                               speculative_decode: bool = True,
+                               initial_budget: Optional[int] = None,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -95,6 +97,25 @@ def generate_reports_pipelined(gen: ReportGenerator,
     decode_selected_cascade's docstring. Costs one extra sync per extra
     bucket actually used; inactive when max_length already fits the first
     bucket.
+    speculative_decode: classifier-driven batches after the first run
+    detect + decode as ONE fused dispatch (detect_and_decode with the
+    detector's own selection) at a PREDICTED static row budget — the max
+    of the last few batches' actual ladder budgets — instead of waiting
+    ~27 ms (plus the detect compute) for the selection-count readback
+    before every decode dispatch. The selection is then fetched as a
+    validation read AFTER the next batch's fused step is already queued,
+    so the device never idles on it. A budget miss (actual selected rows
+    > predicted budget) re-decodes that batch at the true budget from the
+    already-computed region features — reports are identical either way
+    (a larger-than-needed budget decodes the same rows; compaction is
+    stable in flat order), only the miss latency differs. Batch 0 and a
+    padded final batch use the synchronous split path (the first to seed
+    the predictor, the pad case because its selection must be zeroed on
+    the host before decode).
+    initial_budget: calibrated warm start for the budget predictor — a
+    row count expected per batch (rounded up the ladder). With it, batch
+    0 speculates too instead of paying the synchronous seed; a low value
+    just costs a budget-miss re-decode, never wrong reports.
     mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
     are replicated once, image batches are uploaded batch-sharded over the
     mesh's leading axis, and every jitted stage runs SPMD with XLA placing
@@ -167,6 +188,80 @@ def generate_reports_pipelined(gen: ReportGenerator,
             batch, transfer_dtype=jnp.bfloat16 if bf16_upload else None,
             sharding=shard)
 
+    import jax
+
+    buckets_cfg = gen.model.cfg.generation.length_buckets
+    b1 = min(buckets_cfg[0], max_length) if buckets_cfg else max_length
+    cascade_on = length_bucket_cascade and max_length > b1
+    pad_id = gen.model.cfg.decoder.pad_token_id
+
+    recent_budgets: List[int] = []   # last few actual ladder budgets
+    if initial_budget is not None:
+        recent_budgets.append(
+            gen.model.budget_for(initial_budget, batch_size, mesh=mesh))
+
+    def record_budget(num_selected: int, b: int) -> None:
+        recent_budgets.append(
+            gen.model.budget_for(num_selected, b, mesh=mesh))
+        del recent_budgets[:-4]
+
+    def continue_cascade(out, ids, decoded, rem):
+        """Second-and-later rungs of the length-bucket ladder for rows that
+        filled bucket b1 (same logic for both fused branches); rem is the
+        host bool mask of rows to re-decode."""
+        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, max_length - b1)),
+                      constant_values=pad_id)
+        if rem.any():
+            rest = buckets_cfg[1:] or (max_length,)
+            ids2, dec2 = gen.model.decode_selected_cascade(
+                params, out["region_features"], rem, max_length,
+                kv_cache_dtype=kv, mesh=mesh, buckets=rest,
+                first_count=int(rem.sum()), num_beams=num_beams,
+                early_stopping=early_stopping)
+            ids = jnp.where(jnp.asarray(rem)[:, :, None], ids2, ids)
+            decoded = decoded | dec2
+        return ids, decoded
+
+    def finalize_speculative(out, budget):
+        """Validation readback for a speculatively-dispatched fused batch:
+        called AFTER the next batch's work is queued, so the fetch (which
+        waits out this batch's compute) overlaps the next batch's compute.
+        Returns the postprocess-ready output dict."""
+        fetch = [out["selected_regions"]]
+        if cascade_on:
+            fetch += [out["output_ids"][:, :, b1 - 1], out["decoded_mask"]]
+            if num_beams > 1:
+                fetch.append(out["decode_done"])
+        got = jax.device_get(tuple(fetch))
+        sel_np = got[0]
+        num_selected = int(sel_np.sum())
+        record_budget(num_selected, sel_np.shape[0])
+        ids, decoded = out["output_ids"], out["decoded_mask"]
+        if num_selected > budget:
+            # budget miss (rare): rows beyond the predicted budget were not
+            # decoded — re-decode everything at the true budget from the
+            # already-computed features. Identical output to the
+            # synchronous path, one extra decode of latency.
+            ids, decoded = gen.model.decode_selected_cascade(
+                params, out["region_features"], out["selected_regions"],
+                max_length, kv_cache_dtype=kv, mesh=mesh,
+                first_count=num_selected, num_beams=num_beams,
+                early_stopping=early_stopping)
+        elif cascade_on:
+            last_col, dec1 = got[1], got[2]
+            unfin = last_col != pad_id
+            if num_beams > 1:
+                unfin |= ~got[3]
+            ids, decoded = continue_cascade(out, ids, decoded,
+                                            sel_np & dec1 & unfin)
+        return {
+            "output_ids": ids,
+            "decoded_mask": decoded,
+            "selected_regions": out["selected_regions"],
+            "class_detected": out["class_detected"],
+            "detections": {"top_region_boxes": out["top_region_boxes"]},
+        }
+
     with cf.ThreadPoolExecutor(max_workers=1) as pre, \
             cf.ThreadPoolExecutor(max_workers=1) as post:
         pre_futures: List[cf.Future] = []
@@ -181,6 +276,15 @@ def generate_reports_pipelined(gen: ReportGenerator,
         ensure_pre(0)
         post_future = None
         det_ahead = {}  # batch index -> already-dispatched detect outputs
+        # batch awaiting its speculative validation readback:
+        # (fused outputs, n real images, predicted budget)
+        spec_pending = None
+
+        def submit_post(device_out, n_images):
+            nonlocal post_future
+            prev, post_future = post_future, post.submit(
+                _postprocess, gen, device_out, n_images)
+            return prev
 
         for i, batch in enumerate(batches):
             ensure_pre(i + 2)
@@ -189,11 +293,42 @@ def generate_reports_pipelined(gen: ReportGenerator,
             device_batch, mats = (pre_out if isinstance(pre_out, tuple)
                                   else (pre_out, None))
             if selection_override is None:
+                padded = int(device_batch.shape[0]) > len(batch)
+                if speculative_decode and recent_budgets and not padded:
+                    # SPECULATIVE fused dispatch: decode the detector's own
+                    # selection at the predicted budget — one dispatch, no
+                    # readback on the critical path. Validated next
+                    # iteration (finalize_speculative above).
+                    budget = max(recent_budgets)
+                    out = gen.model.detect_and_decode(
+                        params, device_batch, None, budget,
+                        b1 if cascade_on else max_length,
+                        num_beams=num_beams, early_stopping=early_stopping,
+                        kv_cache_dtype=kv, resize_mats=mats,
+                        image_chunk=detect_image_chunk, mesh=mesh,
+                        return_features=True,
+                        return_done=cascade_on and num_beams > 1)
+                    if spec_pending is not None:
+                        prev = submit_post(
+                            finalize_speculative(spec_pending[0],
+                                                 spec_pending[2]),
+                            spec_pending[1])
+                        if prev is not None:
+                            yield prev.result()
+                    spec_pending = (out, len(batch), budget)
+                    continue
+
+                # SYNCHRONOUS split path: batch 0 (seeds the budget
+                # predictor), a padded final batch (pad-row selections must
+                # be zeroed on the host), or speculative_decode=False.
                 det = (det_ahead.pop(i) if i in det_ahead
                        else gen.model.detect(params, device_batch, mats,
                                              image_chunk=detect_image_chunk))
-                # LOOKAHEAD: enqueue detect for batch i+1 BEFORE reading back
-                # batch i's selection. Dispatch is async, so the device works
+                # LOOKAHEAD (non-speculative serving only — under
+                # speculation the fused next batch fills this role, and a
+                # pre-dispatched detect would just recompute inside it):
+                # enqueue detect for batch i+1 BEFORE reading back batch
+                # i's selection. Dispatch is async, so the device works
                 # on detect(i+1) while the host waits out the ~27 ms tunnel
                 # fetch + bucket pick below — without this the device idles
                 # at every readback (measured 43.6 -> 55+ r/s at B=32).
@@ -203,13 +338,24 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 # stage (mixed-shape batches on the host pipeline) — in
                 # that case batch i+1's detect dispatches next iteration
                 # as usual.
-                if i + 1 < len(batches) and pre_futures[i + 1].done():
+                if (not speculative_decode and i + 1 < len(batches)
+                        and pre_futures[i + 1].done()):
                     nxt = pre_futures[i + 1].result()
                     nxt_imgs, nxt_mats = (nxt if isinstance(nxt, tuple)
                                           else (nxt, None))
                     det_ahead[i + 1] = gen.model.detect(
                         params, nxt_imgs, nxt_mats,
                         image_chunk=detect_image_chunk)
+                if spec_pending is not None:
+                    # previous batch was speculative: finalize it now that
+                    # this batch's detect is queued (keeps yields in order)
+                    prev = submit_post(
+                        finalize_speculative(spec_pending[0],
+                                             spec_pending[2]),
+                        spec_pending[1])
+                    if prev is not None:
+                        yield prev.result()
+                    spec_pending = None
                 sel = det["selected_regions"]
                 # the ONE unavoidable sync: the host picks the static decode
                 # bucket from the classifier's selection count
@@ -222,6 +368,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     sel_np[len(batch):] = False
                     sel = jnp.asarray(sel_np)
                 num_selected = int(sel_np.sum())
+                record_budget(num_selected, sel_np.shape[0])
                 if length_bucket_cascade:
                     ids, decoded = gen.model.decode_selected_cascade(
                         params, det["region_features"], sel, max_length,
@@ -259,27 +406,22 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 r_budget = gen.model.budget_for(
                     int(host_sel.sum()), int(device_batch.shape[0]),
                     mesh=mesh)
-                buckets = gen.model.cfg.generation.length_buckets
-                b1 = min(buckets[0], max_length)
-                cascade = length_bucket_cascade and max_length > b1
                 out = gen.model.detect_and_decode(
                     params, device_batch, sel, r_budget,
-                    b1 if cascade else max_length,
+                    b1 if cascade_on else max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
                     kv_cache_dtype=kv, resize_mats=mats,
                     image_chunk=detect_image_chunk, mesh=mesh,
-                    return_features=cascade,
-                    return_done=cascade and num_beams > 1)
+                    return_features=cascade_on,
+                    return_done=cascade_on and num_beams > 1)
                 ids, decoded = out["output_ids"], out["decoded_mask"]
-                if cascade:
+                if cascade_on:
                     # continue the length-bucket ladder for rows that hit
                     # the first cap: one tiny readback decides whether a
                     # second (much rarer) decode dispatch is needed at all.
                     # Bucket-final rule per mode: greedy = pad in the last
                     # slot; beam = that AND the search closed (decode_done)
                     # — see decode_selected_cascade's docstring.
-                    import jax
-                    pad_id = gen.model.cfg.decoder.pad_token_id
                     fetch = (ids[:, :, b1 - 1], decoded)
                     if num_beams > 1:
                         last_col, dec1, done1 = jax.device_get(
@@ -287,24 +429,11 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     else:
                         last_col, dec1 = jax.device_get(fetch)
                         done1 = None
-                    ids = jnp.pad(ids, ((0, 0), (0, 0),
-                                        (0, max_length - b1)),
-                                  constant_values=pad_id)
                     unfin = last_col != pad_id
                     if done1 is not None:
                         unfin |= ~done1
-                    rem = host_sel & dec1 & unfin
-                    if rem.any():
-                        rest = buckets[1:] or (max_length,)
-                        ids2, dec2 = gen.model.decode_selected_cascade(
-                            params, out["region_features"], rem, max_length,
-                            kv_cache_dtype=kv, mesh=mesh, buckets=rest,
-                            first_count=int(rem.sum()),
-                            num_beams=num_beams,
-                            early_stopping=early_stopping)
-                        ids = jnp.where(jnp.asarray(rem)[:, :, None],
-                                        ids2, ids)
-                        decoded = decoded | dec2
+                    ids, decoded = continue_cascade(out, ids, decoded,
+                                                    host_sel & dec1 & unfin)
                 device_out = {
                     "output_ids": ids,
                     "decoded_mask": decoded,
@@ -316,8 +445,15 @@ def generate_reports_pipelined(gen: ReportGenerator,
 
             # the post thread fetches everything in one batched device_get
             # overlapped with the next batch's compute
-            if post_future is not None:
-                yield post_future.result()
-            post_future = post.submit(_postprocess, gen, device_out, len(batch))
+            prev = submit_post(device_out, len(batch))
+            if prev is not None:
+                yield prev.result()
 
+        if spec_pending is not None:
+            # the stream's last batch was speculative: validate it now
+            prev = submit_post(
+                finalize_speculative(spec_pending[0], spec_pending[2]),
+                spec_pending[1])
+            if prev is not None:
+                yield prev.result()
         yield post_future.result()

@@ -41,3 +41,17 @@ def test_calibrate_certify_and_classifier_driven_product():
 
     rps = bench.bench_product_classifier_driven(served, params)
     assert rps > 0
+
+
+def test_certify_parity_dry_run():
+    """The one-command real-weight certification plan (VERDICT missing #1)
+    must keep dry-running clean so the day the published weights arrive the
+    path hasn't rotted (converters, generator, NLG stack all import)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/certify_parity.py", "--dry-run"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wiring OK" in r.stdout

@@ -230,3 +230,48 @@ def test_preprocess_raw_returns_arrays_on_fallback(setup, tmp_path):
     # same-shape batch: fast path active, no arrays returned
     raw2, arrays2 = gen.preprocess_raw([paths[0], paths[1]])
     assert raw2 is not None and arrays2 is None
+
+
+@pytest.mark.parametrize("num_beams,cascade", [(1, False), (1, True),
+                                               (3, True)])
+def test_speculative_decode_matches_synchronous(setup, num_beams, cascade):
+    """The speculative classifier-driven path (fused detect+decode at a
+    predicted budget, validation readback off the critical path) must be
+    report-identical to the synchronous split path — including when the
+    prediction MISSES (initial_budget=8 forces batch 0 to speculate at the
+    ladder floor, well under 2 images' typical selection count, so the
+    miss re-decode is genuinely exercised)."""
+    import dataclasses
+
+    from rgrg_tpu.core.config import GenerationConfig
+    from tests.test_full_model import SMOKE_CFG as _SMOKE
+
+    gen, paths = setup
+    if cascade:
+        cfg2 = dataclasses.replace(
+            _SMOKE, generation=GenerationConfig(length_buckets=(4, 12)))
+        gen2 = ReportGenerator(gen.params, GPT2Tokenizer.dummy(), cfg=cfg2,
+                               similarity_fn=None)
+    else:
+        gen2 = gen
+    # batch_size 4: the tiny model detects ~3 regions/image, so the first
+    # batch selects ~12 rows — above the ladder-floor initial_budget of 8,
+    # forcing a real budget miss on the speculative first batch
+    kwargs = dict(batch_size=4, num_beams=num_beams, max_length=12,
+                  kv_cache_dtype=None, length_bucket_cascade=cascade)
+    sync = [r for chunk in generate_reports_pipelined(
+        gen2, paths, speculative_decode=False, **kwargs) for r in chunk]
+    first_batch_sel = sum(int(r.selected_regions.sum()) for r in sync[:4])
+    assert first_batch_sel > 8, \
+        f"fixture too sparse to force a budget miss ({first_batch_sel})"
+    for init in (None, 8):
+        spec = [r for chunk in generate_reports_pipelined(
+            gen2, paths, speculative_decode=True, initial_budget=init,
+            **kwargs) for r in chunk]
+        assert len(spec) == len(sync) == 5
+        for a, b in zip(spec, sync):
+            assert a.report == b.report
+            assert a.region_sentences == b.region_sentences
+            np.testing.assert_array_equal(a.selected_regions,
+                                          b.selected_regions)
+            np.testing.assert_array_equal(a.class_detected, b.class_detected)
