@@ -552,11 +552,22 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         v_all = read("v", i)
         q5 = qh[:, :, 0, :].swapaxes(0, 1).reshape(
             cfg.num_heads, b, k_beams, cfg.head_dim)               # [H,B,K,D]
-        # dot_general (MXU) formulation; a broadcast-multiply-reduce
-        # variant (dequant fused into reduce fusions, no materialized
-        # dot operands) measured 2.6x SLOWER on v5e (6.5 vs 17 rps at
-        # B=8) — the VPU reduce over [H,B,K,J,T,D] loses to the MXU
-        # dots even counting the dequantized-operand materialization
+        # dot_general (MXU) formulation. Two alternatives measured SLOWER
+        # on v5e and rejected:
+        #   * broadcast-multiply-reduce (dequant fused into reduce
+        #     fusions, no materialized dot operands): 2.6x slower (6.5 vs
+        #     17 r/s at B=8) — the VPU reduce over [H,B,K,J,T,D] loses to
+        #     the MXU dots even counting the dequantized-operand
+        #     materialization;
+        #   * full int8 x int8 MXU dots (round 4, VERDICT #6: per-step
+        #     absmax-requantized q and vs-folded softmax weights, int32
+        #     accumulation, scales applied outside — avoids the dequant
+        #     materialization entirely): 3.2x slower than bf16 at B=32
+        #     (96.2 vs 29.7 ms/step, docs/artifacts/beam_int8_ab.json) —
+        #     the per-step requantizations plus f32 score traffic cost
+        #     more than the dequant copy they remove. The int8-beam
+        #     collapse is structural; serving keeps bf16 cache for beam
+        #     (bench.py BEAM_PRODUCT_KV).
         s_all = jnp.einsum("hbkd,hbjtd->hbkjt", q5, k_all,
                            precision=precision) * scale            # [H,B,K,J,T]
         w = jnp.sum(s_all * onehot, axis=3) + vis_bias             # [H,B,K,T]
