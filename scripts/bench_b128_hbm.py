@@ -85,13 +85,18 @@ def main():
 
     for name, batch, ic, rc in configs:
         m = with_roi_chunk(served, rc) if rc != 256 else served
-        images = jnp.zeros((batch, 512, 512), jnp.uint8)
-        wy = jnp.zeros((512, 700), jnp.float32)
-        wx = jnp.zeros((600, 512), jnp.float32)
+        # raw SOURCE-shaped uint8 (700x600, as bench_product_path feeds),
+        # resized on device by the (wy, wx) mats for that source shape
+        images = jnp.zeros((batch, 700, 600), jnp.uint8)
+        from rgrg_tpu.ops.resize import resize_matrices
+        wy_np, wx_np = resize_matrices(700, 600)
+        wy, wx = jnp.asarray(wy_np), jnp.asarray(wx_np)
         t0 = time.time()
         try:
-            compiled = m.detect.lower(params, images, (wy, wx),
-                                      image_chunk=ic).compile()
+            # .lower on the bound method mis-binds self (jit methods bind
+            # for calls, not for lower) — go through the class attribute
+            compiled = type(m).detect.lower(m, params, images, (wy, wx),
+                                            image_chunk=ic).compile()
             ma = compiled.memory_analysis()
             out["aot"][name] = {
                 "temp_gib": round(ma.temp_size_in_bytes / 2**30, 2),
