@@ -38,7 +38,8 @@ NEG_INF = -1.0e9
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_length", "num_beams", "length_penalty", "early_stopping",
-    "precision", "no_image", "batch", "cache_dtype", "return_done"))
+    "precision", "no_image", "batch", "cache_dtype", "return_done",
+    "pack_kv_pairs"))
 def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   cfg: DecoderConfig, max_length: int = 300,
                   num_beams: int = 4, length_penalty: float = 1.0,
@@ -46,7 +47,8 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   active: Optional[jnp.ndarray] = None,
                   no_image: bool = False,
                   batch: Optional[int] = None,
-                  cache_dtype=None, return_done: bool = False) -> jnp.ndarray:
+                  cache_dtype=None, return_done: bool = False,
+                  pack_kv_pairs: bool = False) -> jnp.ndarray:
     """image_features: [B, F] (or None with `batch` for vanilla GPT-2).
 
     Returns output ids [B, max_length] of the best hypothesis per item
@@ -60,6 +62,11 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
     finished pool and contribute no alive beams, hence finalize reads the
     same pool either way. The length-bucket cascade uses this to re-decode
     only not-done rows at the next rung.
+
+    pack_kv_pairs: store the KV cache with adjacent head pairs merged into
+    the lane dim ([H/2, BK, T, 2D] — pad-free in TPU tiled layout vs the
+    2x lane pad of trailing D=64; see gpt2.cache_to_beam_layers). Output
+    is identical token-for-token (test_beam.py); int8 caches ignore it.
     """
     k = num_beams
     if image_features is not None:
@@ -171,7 +178,7 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
     # transpose, and per-layer buffers keep reads/writes copy-free
     # (gpt2.cache_to_beam_layers)
     t_total = cache["k"].shape[3]
-    cache = gpt2.cache_to_beam_layers(cache)
+    cache = gpt2.cache_to_beam_layers(cache, pack_pairs=pack_kv_pairs)
 
     # first token from prefill logits (cur_len = 1: just BOS). All K lanes
     # of an item share identical prefill KV (feats repeated), so identity

@@ -444,7 +444,7 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     return logits, cache
 
 
-def cache_to_beam_layers(cache):
+def cache_to_beam_layers(cache, pack_pairs: bool = False):
     """[L, BK, H, T, *] (greedy layout) -> per-layer head-leading buffers
     {"k_0": [H, BK, T, *], ..., "v_23": ...} (one-time, after prefill).
 
@@ -459,11 +459,30 @@ def cache_to_beam_layers(cache):
         192 rows on v5e); with per-layer carries the dot reads the
         dynamic_update_slice output directly, and the DUS is the carry's
         only consumer so it updates in place.
-    """
+
+    pack_pairs: additionally merge ADJACENT HEAD PAIRS into the lane dim —
+    [H, BK, T, D] -> [H/2, BK, T, 2D], head h landing in lanes
+    [(h%2)*D:(h%2+1)*D] of packed row h//2. With D=64 the standard layout's
+    trailing dim pads to 128 lanes in TPU tiled layout (2x the HBM bytes;
+    the [16,1536,61,64] B=64 beam cache OOMs v5e at 2.1x pad), while the
+    packed trailing 2D=128 is pad-free. decode_step_beam detects the
+    layout from the buffer shape and contracts the packed lanes with
+    zero-interleaved queries (numerically identical — cross-head lane
+    products are multiplied by structural zeros). int8 caches are never
+    packed (the per-slot scale buffers don't pack, and beam serves bf16
+    per docs/artifacts/beam_int8_ab.json)."""
+    quantized = cache["k"].dtype == jnp.int8
     out = {}
     for name, c in cache.items():
         for i in range(c.shape[0]):
-            out[f"{name}_{i}"] = c[i].swapaxes(0, 1)
+            buf = c[i].swapaxes(0, 1)
+            if (pack_pairs and not quantized and name in ("k", "v")
+                    and buf.shape[0] % 2 == 0):
+                h, bk, t, d = buf.shape
+                buf = (buf.reshape(h // 2, 2, bk, t, d)
+                       .transpose(0, 2, 3, 1, 4)
+                       .reshape(h // 2, bk, t, 2 * d))
+            out[f"{name}_{i}"] = buf
     return out
 
 
@@ -504,6 +523,9 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
 
     slot = step + 2
     quantized = cache["k_0"].dtype == jnp.int8
+    # head-PAIR-packed layout (cache_to_beam_layers pack_pairs=True):
+    # trailing dim is 2D lanes, leading dim H/2 packed rows
+    packed = cache["k_0"].shape[-1] == 2 * cfg.head_dim
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, x.dtype))
 
     t_idx = jnp.arange(t_total)
@@ -515,8 +537,15 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
               == jnp.arange(k_beams)[None, None, :, None]).astype(x.dtype)
     onehot = onehot[None]                                          # [1,B,K,J,T]
 
+    h2, d = cfg.num_heads // 2, cfg.head_dim
+
     def hlead(val):
         # [BK, H, 1, D'] projection -> [H, BK, 1, D'] cache write block
+        # (packed: -> [H/2, BK, 1, 2D'] adjacent head pairs in lanes)
+        if packed:
+            dd = val.shape[-1]
+            return (val.swapaxes(0, 1).reshape(h2, 2, bk, 1, dd)
+                    .transpose(0, 2, 3, 1, 4).reshape(h2, bk, 1, 2 * dd))
         return val.swapaxes(0, 1)
 
     def read(name, i):
@@ -524,8 +553,9 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         if raw.dtype == jnp.int8:
             raw = (raw.astype(jnp.float32)
                    * cache[f"{name}_scale_{i}"]).astype(x.dtype)
+        heads = h2 if packed else cfg.num_heads
         return raw.astype(x.dtype).reshape(
-            cfg.num_heads, b, k_beams, t_total, -1)                # [H,B,J,T,D']
+            heads, b, k_beams, t_total, -1)                # [H(/2),B,J,T,D']
 
     for i in range(cfg.num_layers):
         bp = params[f"h_{i}"]
@@ -568,13 +598,35 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         #     more than the dequant copy they remove. The int8-beam
         #     collapse is structural; serving keeps bf16 cache for beam
         #     (bench.py BEAM_PRODUCT_KV).
-        s_all = jnp.einsum("hbkd,hbjtd->hbkjt", q5, k_all,
-                           precision=precision) * scale            # [H,B,K,J,T]
-        w = jnp.sum(s_all * onehot, axis=3) + vis_bias             # [H,B,K,T]
-        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        wsel = w[:, :, :, None, :] * onehot                        # [H,B,K,J,T]
-        ctx = jnp.einsum("hbkjt,hbjtd->hbkd", wsel, v_all,
-                         precision=precision)
+        if packed:
+            # zero-interleaved queries: packed row r holds heads (2r, 2r+1)
+            # in lane halves; sub-query p zeroes the OTHER head's lanes, so
+            # contracting the full 2D lanes yields exactly q_p . k_p (the
+            # cross-head lane products hit structural zeros). 2x q-side MXU
+            # work on a 3%-utilized unit for HALF the cache bytes staged.
+            q6 = q5.reshape(h2, 2, b, k_beams, d)
+            zer = jnp.zeros_like(q6[:, 0])
+            qp = jnp.stack([jnp.concatenate([q6[:, 0], zer], -1),
+                            jnp.concatenate([zer, q6[:, 1]], -1)],
+                           axis=3)                                 # [H2,B,K,2,2D]
+            s_all = jnp.einsum("hbkpd,hbjtd->hbkpjt", qp, k_all,
+                               precision=precision) * scale
+            w = jnp.sum(s_all * onehot[:, :, :, None], axis=4) + vis_bias
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)         # [H2,B,K,2,T]
+            wsel = w[..., None, :] * onehot[:, :, :, None]         # [H2,B,K,2,J,T]
+            ctxp = jnp.einsum("hbkpjt,hbjtd->hbkpd", wsel, v_all,
+                              precision=precision)                 # [H2,B,K,2,2D]
+            # sub-head p's context lives in its own lane half
+            ctx = jnp.stack([ctxp[:, :, :, 0, :d], ctxp[:, :, :, 1, d:]],
+                            axis=1).reshape(cfg.num_heads, b, k_beams, d)
+        else:
+            s_all = jnp.einsum("hbkd,hbjtd->hbkjt", q5, k_all,
+                               precision=precision) * scale        # [H,B,K,J,T]
+            w = jnp.sum(s_all * onehot, axis=3) + vis_bias         # [H,B,K,T]
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+            wsel = w[:, :, :, None, :] * onehot                    # [H,B,K,J,T]
+            ctx = jnp.einsum("hbkjt,hbjtd->hbkd", wsel, v_all,
+                             precision=precision)
         a = ctx.reshape(cfg.num_heads, bk, cfg.head_dim
                         ).swapaxes(0, 1)[:, :, None, :]            # [BK,H,1,D]
 

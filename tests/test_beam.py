@@ -139,6 +139,28 @@ class TestBeamVsHF419Oracle:
         want = hf_beam_oracle(self.params, self.feats[[0, 2]], TINY, 8, 2)
         np.testing.assert_array_equal(got[[0, 2]], want)
 
+    @pytest.mark.parametrize("num_beams,early", [(2, False), (4, True)])
+    def test_packed_kv_pairs_identical(self, num_beams, early):
+        """pack_kv_pairs merges head pairs into the cache's lane dim (halves
+        the TPU tiled-layout HBM footprint); the zero-interleaved-query
+        contraction must reproduce the standard layout token-for-token."""
+        kw = dict(max_length=12, num_beams=num_beams, early_stopping=early)
+        feats = jnp.asarray(self.feats)
+        want = np.asarray(beam_generate(self.params, feats, TINY, **kw))
+        got = np.asarray(beam_generate(self.params, feats, TINY,
+                                       pack_kv_pairs=True, **kw))
+        np.testing.assert_array_equal(got, want)
+
+    def test_packed_kv_pairs_int8_falls_back(self):
+        """int8 caches never pack (scale buffers don't); pack_kv_pairs=True
+        must still decode identically to the plain int8 call."""
+        feats = jnp.asarray(self.feats)
+        kw = dict(max_length=10, num_beams=2, cache_dtype=jnp.int8)
+        want = np.asarray(beam_generate(self.params, feats, TINY, **kw))
+        got = np.asarray(beam_generate(self.params, feats, TINY,
+                                       pack_kv_pairs=True, **kw))
+        np.testing.assert_array_equal(got, want)
+
 
 def test_beam_vs_modern_hf_generate():
     """Vanilla (no-image) beam on converted weights vs transformers
