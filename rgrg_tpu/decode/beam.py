@@ -48,7 +48,7 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   no_image: bool = False,
                   batch: Optional[int] = None,
                   cache_dtype=None, return_done: bool = False,
-                  pack_kv_pairs: bool = False) -> jnp.ndarray:
+                  pack_kv_pairs: bool = True) -> jnp.ndarray:
     """image_features: [B, F] (or None with `batch` for vanilla GPT-2).
 
     Returns output ids [B, max_length] of the best hypothesis per item
@@ -63,10 +63,14 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
     same pool either way. The length-bucket cascade uses this to re-decode
     only not-done rows at the next rung.
 
-    pack_kv_pairs: store the KV cache with adjacent head pairs merged into
-    the lane dim ([H/2, BK, T, 2D] — pad-free in TPU tiled layout vs the
-    2x lane pad of trailing D=64; see gpt2.cache_to_beam_layers). Output
-    is identical token-for-token (test_beam.py); int8 caches ignore it.
+    pack_kv_pairs (default ON): store the KV cache with adjacent head
+    pairs merged into the lane dim ([H/2, BK, T, 2D] — pad-free in TPU
+    tiled layout vs the 2x lane pad of trailing D=64; see
+    gpt2.cache_to_beam_layers). Output is identical token-for-token
+    (test_beam.py); int8 / odd-head caches fall back to the standard
+    layout automatically. Measured 1.60x beam-4 decode at B=32 on v5e
+    and unlocks B=64 (unpacked OOMs at compile) —
+    docs/artifacts/beam_packed_ab.json.
     """
     k = num_beams
     if image_features is not None:
