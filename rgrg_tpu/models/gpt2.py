@@ -272,20 +272,49 @@ def language_model_loss(params: Params, input_ids: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def init_cache(batch: int, max_len: int, cfg: DecoderConfig,
-               dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+               dtype=jnp.float32, pack_pairs: bool = False) -> Dict[str, jnp.ndarray]:
     """Static cache: slot 0 = image K/V, slots 1..max_len = tokens.
 
     dtype int8 enables the quantized cache: per-(layer, batch, head, slot)
     absmax scales ride along; decode dequantizes on read. Halves the
     per-step cache HBM traffic vs bf16 — the decode bottleneck at scale.
+
+    pack_pairs merges adjacent head pairs into the lane dim —
+    [L, B, H, T, D] -> [L, B, H/2, T, 2D], head h in lanes
+    [(h%2)*D:(h%2+1)*D] of packed row h//2. With D=64 the standard layout
+    pads its trailing dim to 128 lanes in TPU tiled layout (2x the HBM
+    bytes); packed 2D=128 is pad-free. Same trick as the beam cache
+    (cache_to_beam_layers), where it wins 1.60x; for GREEDY it measured
+    SLOWER on v5e in both scale formulations and defaults OFF
+    (docs/artifacts/greedy_packed_ab.json; decode/greedy.py docstring) —
+    kept because the mechanism is shared and oracle-tested.
     """
-    shape = (cfg.num_layers, batch, cfg.num_heads, 1 + max_len, cfg.head_dim)
+    if pack_pairs and cfg.num_heads % 2 == 0:
+        shape = (cfg.num_layers, batch, cfg.num_heads // 2, 1 + max_len,
+                 2 * cfg.head_dim)
+    else:
+        shape = (cfg.num_layers, batch, cfg.num_heads, 1 + max_len,
+                 cfg.head_dim)
     cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if dtype == jnp.int8:
+        # packed int8 quantizes per PACKED ROW (one absmax over the head
+        # pair) so the scale buffers keep their trailing-1 broadcast shape:
+        # a trailing dim of 2 pads to 128 lanes in TPU tiled layout (64x
+        # the bytes) and its jnp.repeat dequant materializes a full f32
+        # cache copy per step — measured 2.8x SLOWER end to end
+        # (docs/artifacts/greedy_packed_ab.json, first formulation).
         sshape = shape[:-1] + (1,)
         cache["k_scale"] = jnp.ones(sshape, jnp.float32)
         cache["v_scale"] = jnp.ones(sshape, jnp.float32)
     return cache
+
+
+def _pack_head_pairs(val: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, D'] -> [B, H/2, S, 2D'] adjacent head pairs in lanes."""
+    b, h, s, d = val.shape
+    return (val.reshape(b, h // 2, 2, s, d)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(b, h // 2, s, 2 * d))
 
 
 def _quantize_kv(x: jnp.ndarray):
@@ -298,7 +327,7 @@ def _quantize_kv(x: jnp.ndarray):
 
 def _cache_read(cache: Dict[str, jnp.ndarray], name: str, layer: int,
                 out_dtype) -> jnp.ndarray:
-    """Dequantizing read of one layer's K or V: [B, H, T, D]."""
+    """Dequantizing read of one layer's K or V: [B, H(/2), T, D(2D)]."""
     raw = cache[name][layer]
     if raw.dtype == jnp.int8:
         return (raw.astype(jnp.float32)
@@ -308,7 +337,8 @@ def _cache_read(cache: Dict[str, jnp.ndarray], name: str, layer: int,
 
 def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: int,
             max_len: int, cfg: DecoderConfig, precision=None,
-            cache_dtype=None, batch: Optional[int] = None):
+            cache_dtype=None, batch: Optional[int] = None,
+            pack_pairs: bool = False):
     """Start generation: write image K/V to slot 0 and the BOS token's K/V to
     slot 1 of every layer; return (logits [B, vocab] for the BOS position,
     cache). Generation always starts from a single BOS with an all-ones mask
@@ -316,6 +346,9 @@ def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: in
 
     image_features=None runs vanilla GPT-2 (pass `batch`): slot 0 stays zero
     and is masked out here and in decode_step (no_image=True).
+
+    pack_pairs: head-pair-packed cache layout (see init_cache) — decode_step
+    detects it from the buffer shape; numerics identical.
     """
     with_image = image_features is not None
     b = image_features.shape[0] if with_image else batch
@@ -325,7 +358,8 @@ def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: in
         cache_dtype = params["wte"]["embedding"].dtype
     if with_image:
         img = feature_transform(params, image_features, precision)[:, None, :]
-    cache = init_cache(b, max_len, cfg, cache_dtype)
+    pack = pack_pairs and cfg.num_heads % 2 == 0
+    cache = init_cache(b, max_len, cfg, cache_dtype, pack_pairs=pack)
 
     ids = jnp.full((b, 1), bos_token, jnp.int32)
     pos = jnp.zeros((b, 1), jnp.int32)
@@ -351,16 +385,20 @@ def prefill(params: Params, image_features: Optional[jnp.ndarray], bos_token: in
 
         k01 = jnp.concatenate([k_img, kh], axis=2)               # [B,H,2,D]
         v01 = jnp.concatenate([v_img, vh], axis=2)
+        wk = _pack_head_pairs(k01) if pack else k01
+        wv = _pack_head_pairs(v01) if pack else v01
         if cache_dtype == jnp.int8:
-            qk, sk = _quantize_kv(k01)
-            qv, sv = _quantize_kv(v01)
+            # quantize the STORED layout (per packed row when packing) so
+            # scales keep their trailing-1 broadcast shape — see init_cache
+            qk, sk = _quantize_kv(wk)
+            qv, sv = _quantize_kv(wv)
             cache["k"] = cache["k"].at[i, :, :, 0:2, :].set(qk)
             cache["v"] = cache["v"].at[i, :, :, 0:2, :].set(qv)
             cache["k_scale"] = cache["k_scale"].at[i, :, :, 0:2, :].set(sk)
             cache["v_scale"] = cache["v_scale"].at[i, :, :, 0:2, :].set(sv)
         else:
-            cache["k"] = cache["k"].at[i, :, :, 0:2, :].set(k01.astype(cache_dtype))
-            cache["v"] = cache["v"].at[i, :, :, 0:2, :].set(v01.astype(cache_dtype))
+            cache["k"] = cache["k"].at[i, :, :, 0:2, :].set(wk.astype(cache_dtype))
+            cache["v"] = cache["v"].at[i, :, :, 0:2, :].set(wv.astype(cache_dtype))
 
         if with_image:
             bias = jnp.zeros((1, 1, 1, 2), x.dtype)  # image + self visible
@@ -403,6 +441,14 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     bias = jnp.where(visible, 0.0, MASK_VALUE).astype(x.dtype)
 
     quantized = cache["k"].dtype == jnp.int8
+    # head-pair-packed layout (init_cache pack_pairs=True): trailing dim 2D.
+    # Pad-free lanes for D=64 — half the cache HBM bytes staged per step;
+    # contraction over the full 2D lanes with zero-interleaved queries is
+    # numerically identical (cross-head products hit structural zeros).
+    # Same trick as decode_step_beam; measured on beam first
+    # (docs/artifacts/beam_packed_ab.json).
+    packed = cache["k"].shape[-1] == 2 * cfg.head_dim
+    h2, d = cfg.num_heads // 2, cfg.head_dim
     for i in range(cfg.num_layers):
         bp = params[f"h_{i}"]
         x_norm = _layer_norm(x, bp["ln_1"], cfg.layer_norm_eps)
@@ -413,8 +459,8 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
         vh = _split_heads(v_w, cfg.num_heads, cfg.head_dim)
 
         if quantized:
-            qk, sk = _quantize_kv(kh)
-            qv, sv = _quantize_kv(vh)
+            qk, sk = _quantize_kv(_pack_head_pairs(kh) if packed else kh)
+            qv, sv = _quantize_kv(_pack_head_pairs(vh) if packed else vh)
             cache = dict(cache)
             cache["k"] = jax.lax.dynamic_update_slice(
                 cache["k"], qk[None], (i, 0, 0, slot, 0))
@@ -425,15 +471,36 @@ def decode_step(params: Params, token: jnp.ndarray, step: jnp.ndarray,
             cache["v_scale"] = jax.lax.dynamic_update_slice(
                 cache["v_scale"], sv[None], (i, 0, 0, slot, 0))
         else:
+            wk = _pack_head_pairs(kh) if packed else kh
+            wv = _pack_head_pairs(vh) if packed else vh
             ck = jax.lax.dynamic_update_slice(
-                cache["k"], kh.astype(cache["k"].dtype)[None], (i, 0, 0, slot, 0))
+                cache["k"], wk.astype(cache["k"].dtype)[None], (i, 0, 0, slot, 0))
             cv = jax.lax.dynamic_update_slice(
-                cache["v"], vh.astype(cache["v"].dtype)[None], (i, 0, 0, slot, 0))
+                cache["v"], wv.astype(cache["v"].dtype)[None], (i, 0, 0, slot, 0))
             cache = {"k": ck, "v": cv}
 
-        a = _attention(qh, _cache_read(cache, "k", i, x.dtype),
-                       _cache_read(cache, "v", i, x.dtype),
-                       bias, precision)
+        if packed:
+            kp = _cache_read(cache, "k", i, x.dtype)             # [B,H2,T,2D]
+            vp = _cache_read(cache, "v", i, x.dtype)
+            q6 = qh[:, :, 0, :].reshape(b, h2, 2, d)
+            zer = jnp.zeros_like(q6[:, :, 0])
+            qp = jnp.stack([jnp.concatenate([q6[:, :, 0], zer], -1),
+                            jnp.concatenate([zer, q6[:, :, 1]], -1)],
+                           axis=2)                               # [B,H2,2,2D]
+            sc = 1.0 / jnp.sqrt(jnp.asarray(d, x.dtype))
+            w = jnp.einsum("bhpd,bhtd->bhpt", qp, kp,
+                           precision=precision) * sc + bias
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)       # [B,H2,2,T]
+            ctxp = jnp.einsum("bhpt,bhtd->bhpd", w, vp,
+                              precision=precision)               # [B,H2,2,2D]
+            # sub-head p's context lives in its own lane half
+            ctx = jnp.stack([ctxp[:, :, 0, :d], ctxp[:, :, 1, d:]],
+                            axis=2)                              # [B,H2,2,D]
+            a = ctx.reshape(b, cfg.num_heads, 1, d)
+        else:
+            a = _attention(qh, _cache_read(cache, "k", i, x.dtype),
+                           _cache_read(cache, "v", i, x.dtype),
+                           bias, precision)
         x = x + _dense(_merge_heads(a), bp["attn"]["c_proj"], precision)
         m = _layer_norm(x, bp["ln_2"], cfg.layer_norm_eps)
         x = x + _dense(_gelu_new(_dense(m, bp["mlp"]["c_fc"], precision)),

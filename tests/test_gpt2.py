@@ -155,6 +155,39 @@ class TestCachedDecode:
                                        rtol=2e-4, atol=2e-4,
                                        err_msg=f"step {i}")
 
+    def test_stepwise_packed_matches_full(self):
+        # head-pair-packed cache ([L,B,H/2,T,2D]) must reproduce the same
+        # teacher-forced logits: the packed contraction's cross-head lane
+        # products hit structural zeros, so it is exact.
+        steps = 6
+        logits0, cache = gpt2.prefill(self.params, jnp.asarray(self.feats),
+                                      TINY.bos_token_id, steps + 2, TINY,
+                                      pack_pairs=True)
+        assert cache["k"].shape[-1] == 2 * TINY.head_dim
+        tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        step_logits = [logits0]
+        tokens = [jnp.full((2,), TINY.bos_token_id, jnp.int32)]
+        for t in range(steps):
+            tokens.append(tok)
+            lg, cache = gpt2.decode_step(self.params, tok, jnp.int32(t), cache, TINY)
+            step_logits.append(lg)
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        seq = jnp.stack(tokens, axis=1)
+        full = gpt2.forward_full(self.params, seq,
+                                 jnp.ones(seq.shape, jnp.float32),
+                                 jnp.asarray(self.feats), TINY)
+        for i, lg in enumerate(step_logits):
+            np.testing.assert_allclose(np.asarray(lg), np.asarray(full[:, i, :]),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"packed step {i}")
+
+    def test_greedy_packed_kv_identical(self):
+        packed = greedy_generate(self.params, jnp.asarray(self.feats), TINY,
+                                 max_length=9, pack_kv_pairs=True)
+        plain = greedy_generate(self.params, jnp.asarray(self.feats), TINY,
+                                max_length=9, pack_kv_pairs=False)
+        np.testing.assert_array_equal(np.asarray(packed), np.asarray(plain))
+
     def test_greedy_generate_matches_manual_loop(self):
         max_length = 9
         out = greedy_generate(self.params, jnp.asarray(self.feats), TINY,

@@ -57,6 +57,47 @@ def test_int8_greedy_mostly_matches():
     assert (a == b).mean() > 0.6
 
 
+def test_int8_packed_greedy_mostly_matches_unpacked():
+    """Packed int8 quantizes per PACKED ROW (one absmax over the head pair
+    — scale buffers keep their trailing-1 broadcast shape, see
+    gpt2.init_cache), so tokens can differ from the per-head unpacked
+    quantization on near-ties; sequences must still largely agree, and
+    both must stay close to the f32 decode."""
+    params = gpt2.init_decoder_params(jax.random.PRNGKey(3), TINY)
+    feats = jax.random.normal(jax.random.PRNGKey(4), (4, TINY.hidden_dim)) * 2
+    f = np.asarray(greedy_generate(params, feats, TINY, max_length=10))
+    a = np.asarray(greedy_generate(params, feats, TINY, max_length=10,
+                                   cache_dtype=jnp.int8, pack_kv_pairs=False))
+    b = np.asarray(greedy_generate(params, feats, TINY, max_length=10,
+                                   cache_dtype=jnp.int8, pack_kv_pairs=True))
+    assert (a == b).mean() > 0.6
+    assert (b == f).mean() > 0.6
+
+
+def test_int8_packed_stepwise_close_to_f32():
+    params = gpt2.init_decoder_params(jax.random.PRNGKey(1), TINY)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (2, TINY.hidden_dim))
+    lg_f, cache_f = gpt2.prefill(params, feats, TINY.bos_token_id, 8, TINY,
+                                 pack_pairs=True)
+    lg_q, cache_q = gpt2.prefill(params, feats, TINY.bos_token_id, 8, TINY,
+                                 cache_dtype=jnp.int8, pack_pairs=True)
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_q), atol=1e-5)
+    tok = jnp.argmax(lg_f, axis=-1).astype(jnp.int32)
+    for t in range(4):
+        lf, cache_f = gpt2.decode_step(params, tok, jnp.int32(t), cache_f, TINY)
+        lq, cache_q = gpt2.decode_step(params, tok, jnp.int32(t), cache_q, TINY)
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(lf),
+                                   rtol=0.1, atol=0.15)
+        tok = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+
+def test_int8_packed_cache_structure():
+    cache = gpt2.init_cache(2, 8, TINY, jnp.int8, pack_pairs=True)
+    assert cache["k"].shape == (TINY.num_layers, 2, TINY.num_heads // 2,
+                                9, 2 * TINY.head_dim)
+    assert cache["k_scale"].shape == cache["k"].shape[:-1] + (1,)
+
+
 def test_int8_beam_step_close_to_f32():
     """decode_step_beam's quantized write/dequant-read path vs the f32 cache
     (the serving/bench default for beam is the int8 cache — the mechanism
