@@ -53,11 +53,12 @@ PRODUCT_IMAGES = PRODUCT_BATCH * 4
 REGIONS_PER_IMAGE = 6
 SENT_TOKENS = 60
 BEAM_BATCH = 8          # round-1 beam comparison point (STATUS.md)
-BEAM_PRODUCT_BATCH = 32  # beam-4 product batch. B sweep (r3, decode path):
-                        # B8 17.8, B16 18.7, B32 18.8 r/s — an XLA plateau,
-                        # so take the largest B (best tunnel amortization).
-                        # B=64 OOMs HBM: the per-layer beam cache
-                        # [16,1536,61,64] tile-pads 2.1x.
+BEAM_PRODUCT_BATCH = 32  # beam-4 product batch. With the head-pair-packed
+                        # cache (r4 default, 1.60x): B32 29.8 r/s > B64
+                        # 28.3 (docs/artifacts/beam_packed_ab.json; B=64
+                        # only COMPILES packed — unpacked tile-pads 2.1x
+                        # and OOMs HBM). Pre-packing sweep (r3): B8 17.8,
+                        # B16 18.7, B32 18.8 — same plateau shape.
 BEAM_PRODUCT_KV = "bf16"  # at B=32 the int8 cache craters beam to 10.4 r/s
                         # (dequant materialization scales with the 192-row
                         # budget) while bf16 holds 18.8; int8==bf16 at B<=16
@@ -431,7 +432,13 @@ def bench_roofline(model, params):
 
     out = {"model": "bytes/step = decoder params (served dtype) + full KV "
                     "buffer read (K+V, all layers/slots); activations "
-                    "excluded", "hbm_peak_gbps": V5E_HBM_PEAK_GBPS}
+                    "excluded. LOGICAL bytes: beam's head-pair-packed "
+                    "cache (r4 default) is pad-free so logical~=physical; "
+                    "greedy's unpacked [.,T,D=64] tile-pads 2x, so its "
+                    "true physical traffic is ~2x the modeled KV term "
+                    "(packing greedy measured slower end to end — "
+                    "docs/artifacts/greedy_packed_ab.json)",
+           "hbm_peak_gbps": V5E_HBM_PEAK_GBPS}
 
     # --- detect phase (B=PRODUCT_BATCH, the product-path shape) ---
     images64 = jax.random.normal(jax.random.PRNGKey(3),
