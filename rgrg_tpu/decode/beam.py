@@ -39,7 +39,7 @@ NEG_INF = -1.0e9
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_length", "num_beams", "length_penalty", "early_stopping",
     "precision", "no_image", "batch", "cache_dtype", "return_done",
-    "pack_kv_pairs"))
+    "pack_kv_pairs", "pallas_attn"))
 def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   cfg: DecoderConfig, max_length: int = 300,
                   num_beams: int = 4, length_penalty: float = 1.0,
@@ -48,7 +48,8 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
                   no_image: bool = False,
                   batch: Optional[int] = None,
                   cache_dtype=None, return_done: bool = False,
-                  pack_kv_pairs: bool = True) -> jnp.ndarray:
+                  pack_kv_pairs: bool = True,
+                  pallas_attn: bool = False) -> jnp.ndarray:
     """image_features: [B, F] (or None with `batch` for vanilla GPT-2).
 
     Returns output ids [B, max_length] of the best hypothesis per item
@@ -71,6 +72,13 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
     layout automatically. Measured 1.60x beam-4 decode at B=32 on v5e
     and unlocks B=64 (unpacked OOMs at compile) —
     docs/artifacts/beam_packed_ab.json.
+
+    pallas_attn: fuse each layer's ancestry-masked attention into the
+    Pallas flash-decoding kernel (ops/beam_attn_pallas.py) instead of the
+    XLA one-hot contraction. Packed bf16 caches only; falls back to the
+    XLA path when the layout or item count does not qualify. Outputs are
+    numerically equal modulo f32-accumulation order
+    (tests/test_beam.py::test_pallas_attn_matches_xla).
     """
     k = num_beams
     if image_features is not None:
@@ -203,7 +211,8 @@ def beam_generate(params: Dict[str, Any], image_features: Optional[jnp.ndarray],
         t, tok, state, cache, anc = carry
         logits, cache = gpt2.decode_step_beam(params, tok, t, cache, anc,
                                               cfg, precision,
-                                              no_image=no_image)
+                                              no_image=no_image,
+                                              pallas_attn=pallas_attn)
         new_beam, tok, state = process(logits, state, t + 2)
         anc = reorder_ancestry(anc, new_beam, t + 3)
         return t + 1, tok, state, cache, anc

@@ -556,7 +556,7 @@ def cache_to_beam_layers(cache, pack_pairs: bool = False):
 def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                      cache: Dict[str, jnp.ndarray], ancestry: jnp.ndarray,
                      cfg: DecoderConfig, precision=None,
-                     no_image: bool = False):
+                     no_image: bool = False, pallas_attn: bool = False):
     """One beam-search generation step with ancestry-masked attention.
 
     token: [B*K] (b-major rows); cache: per-layer head-leading buffers
@@ -606,6 +606,21 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
 
     h2, d = cfg.num_heads // 2, cfg.head_dim
 
+    # fused Pallas attention (4th formulation — the first three died; see
+    # ops/beam_attn_pallas.py): packed layout only, item count must tile
+    use_pallas = pallas_attn and packed and not quantized
+    if use_pallas:
+        from rgrg_tpu.ops.beam_attn_pallas import (ITEM_BLOCK,
+                                                   beam_attention_pallas)
+        use_pallas = b % ITEM_BLOCK == 0
+    if use_pallas:
+        pallas_interpret = jax.default_backend() == "cpu"
+        # per-row ancestry with visibility folded in as -1 (step-level,
+        # layer-invariant): row r = (item*K + beam)*2 + sub-head p
+        anc_rows = jnp.repeat(ancestry.reshape(b * k_beams, t_total),
+                              2, axis=0)                           # [R2,T]
+        anc_q = jnp.where(visible[0, 0], anc_rows, -1).astype(jnp.int32)
+
     def hlead(val):
         # [BK, H, 1, D'] projection -> [H, BK, 1, D'] cache write block
         # (packed: -> [H/2, BK, 1, 2D'] adjacent head pairs in lanes)
@@ -645,8 +660,9 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
             cache[f"{name}_{i}"] = jax.lax.dynamic_update_slice(
                 cache[f"{name}_{i}"], hlead(val), (0, 0, slot, 0))
 
-        k_all = read("k", i)                                       # [H,B,J,T,D]
-        v_all = read("v", i)
+        if not use_pallas:
+            k_all = read("k", i)                                   # [H,B,J,T,D]
+            v_all = read("v", i)
         q5 = qh[:, :, 0, :].swapaxes(0, 1).reshape(
             cfg.num_heads, b, k_beams, cfg.head_dim)               # [H,B,K,D]
         # dot_general (MXU) formulation. Two alternatives measured SLOWER
@@ -676,13 +692,23 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
             qp = jnp.stack([jnp.concatenate([q6[:, 0], zer], -1),
                             jnp.concatenate([zer, q6[:, 1]], -1)],
                            axis=3)                                 # [H2,B,K,2,2D]
-            s_all = jnp.einsum("hbkpd,hbjtd->hbkpjt", qp, k_all,
-                               precision=precision) * scale
-            w = jnp.sum(s_all * onehot[:, :, :, None], axis=4) + vis_bias
-            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)         # [H2,B,K,2,T]
-            wsel = w[..., None, :] * onehot[:, :, :, None]         # [H2,B,K,2,J,T]
-            ctxp = jnp.einsum("hbkpjt,hbjtd->hbkpd", wsel, v_all,
-                              precision=precision)                 # [H2,B,K,2,2D]
+            if use_pallas:
+                # stream this layer's K/V through VMEM once, fused
+                # scores/mask/softmax/context (ops/beam_attn_pallas.py)
+                qz = (qp * scale).astype(x.dtype).reshape(
+                    h2, b * k_beams * 2, 2 * d)
+                ctxp = beam_attention_pallas(
+                    qz, cache[f"k_{i}"], cache[f"v_{i}"], anc_q,
+                    k_beams=k_beams, interpret=pallas_interpret)
+                ctxp = ctxp.reshape(h2, b, k_beams, 2, 2 * d).astype(x.dtype)
+            else:
+                s_all = jnp.einsum("hbkpd,hbjtd->hbkpjt", qp, k_all,
+                                   precision=precision) * scale
+                w = jnp.sum(s_all * onehot[:, :, :, None], axis=4) + vis_bias
+                w = jax.nn.softmax(w, axis=-1).astype(x.dtype)     # [H2,B,K,2,T]
+                wsel = w[..., None, :] * onehot[:, :, :, None]     # [H2,B,K,2,J,T]
+                ctxp = jnp.einsum("hbkpjt,hbjtd->hbkpd", wsel, v_all,
+                                  precision=precision)             # [H2,B,K,2,2D]
             # sub-head p's context lives in its own lane half
             ctx = jnp.stack([ctxp[:, :, :, 0, :d], ctxp[:, :, :, 1, d:]],
                             axis=1).reshape(cfg.num_heads, b, k_beams, d)

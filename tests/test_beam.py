@@ -151,6 +151,29 @@ class TestBeamVsHF419Oracle:
                                        pack_kv_pairs=True, **kw))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("num_beams,early", [(2, False), (4, True)])
+    def test_pallas_attn_matches_xla(self, num_beams, early):
+        """The fused Pallas beam-attention kernel (interpret mode on CPU)
+        must reproduce the XLA one-hot path's decode token-for-token."""
+        rng = np.random.default_rng(7)
+        feats = jnp.asarray(
+            rng.normal(0, 2, (4, TINY.hidden_dim)).astype(np.float32))
+        kw = dict(max_length=12, num_beams=num_beams, early_stopping=early)
+        want = np.asarray(beam_generate(self.params, feats, TINY, **kw))
+        got = np.asarray(beam_generate(self.params, feats, TINY,
+                                       pallas_attn=True, **kw))
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_attn_nondivisible_falls_back(self):
+        """b=3 does not tile ITEM_BLOCK: pallas_attn must silently use the
+        XLA path and still decode identically."""
+        feats = jnp.asarray(self.feats)
+        kw = dict(max_length=10, num_beams=2)
+        want = np.asarray(beam_generate(self.params, feats, TINY, **kw))
+        got = np.asarray(beam_generate(self.params, feats, TINY,
+                                       pallas_attn=True, **kw))
+        np.testing.assert_array_equal(got, want)
+
     def test_packed_kv_pairs_int8_falls_back(self):
         """int8 caches never pack (scale buffers don't); pack_kv_pairs=True
         must still decode identically to the plain int8 call."""
