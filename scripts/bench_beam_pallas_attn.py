@@ -48,6 +48,7 @@ def bench_decode(model, params, batch, pallas, reps=4):
     del fm  # decode_selected imports beam_generate lazily from beam_mod
     jax.clear_caches()
     orig = beam_mod.beam_generate
+    # pallas: False for the XLA path, or an int item_block for the kernel
     beam_mod.beam_generate = functools.partial(orig, pallas_attn=pallas)
     try:
         def run(feats):
@@ -77,26 +78,31 @@ def main():
     B.wait_for_backend()
     model, params = B.build()
 
+    # variants interleaved within one process: the XLA one-hot path vs the
+    # kernel at several item-block sizes (bigger blocks cut grid overhead,
+    # waste flops/softmax lanes on cross-item pairs)
+    variants = {"xla": False, "pallas_ib4": 4, "pallas_ib8": 8}
     out = {"tokens": TOKENS, "regions_per_report": REGIONS, "ab": {}}
     for batch in (32,):
-        rec = {"pallas_s": [], "xla_s": []}
+        rec = {f"{name}_s": [] for name in variants}
+        rb = None
         for _ in range(3):
-            s, rb = bench_decode(model, params, batch, pallas=True)
-            rec["pallas_s"].append(round(s, 4))
-            s, _ = bench_decode(model, params, batch, pallas=False)
-            rec["xla_s"].append(round(s, 4))
-        p, u = min(rec["pallas_s"]), min(rec["xla_s"])
+            for name, pal in variants.items():
+                s, rb = bench_decode(model, params, batch, pallas=pal)
+                rec[f"{name}_s"].append(round(s, 4))
         steps = TOKENS - 2
-        out["ab"][f"B{batch}"] = {
-            **rec, "r_budget": rb,
-            "pallas_rps": round(batch / p, 2),
-            "xla_rps": round(batch / u, 2),
-            "pallas_ms_per_step": round(p / steps * 1e3, 2),
-            "xla_ms_per_step": round(u / steps * 1e3, 2),
-            "pallas_speedup": round(u / p, 3)}
-        print(f"B{batch}: pallas {batch/p:.1f} r/s vs xla {batch/u:.1f} r/s "
-              f"({p/steps*1e3:.1f} vs {u/steps*1e3:.1f} ms/step)",
-              file=sys.stderr)
+        best = {name: min(rec[f"{name}_s"]) for name in variants}
+        u = best["xla"]
+        summary = {"r_budget": rb}
+        for name, s in best.items():
+            summary[f"{name}_rps"] = round(batch / s, 2)
+            summary[f"{name}_ms_per_step"] = round(s / steps * 1e3, 2)
+            if name != "xla":
+                summary[f"{name}_speedup"] = round(u / s, 3)
+        out["ab"][f"B{batch}"] = {**rec, **summary}
+        print(f"B{batch}: " + "  ".join(
+            f"{name} {batch/s:.1f} r/s ({s/steps*1e3:.1f} ms/step)"
+            for name, s in best.items()), file=sys.stderr)
 
     print(json.dumps(out, indent=2))
     path = "docs/artifacts/beam_pallas_attn_ab.json"
