@@ -40,8 +40,19 @@ MASK_VALUE = -1e4
 
 
 def _dense(x: jnp.ndarray, p: Params, precision=None) -> jnp.ndarray:
-    """y = x @ kernel + bias, kernel stored [in, out]."""
-    return jnp.dot(x, p["kernel"], precision=precision) + p["bias"]
+    """y = x @ kernel + bias, kernel stored [in, out].
+
+    Accepts weight-only-int8 kernels (quantize_decoder_weights): the
+    int8 -> x.dtype convert fuses into the dot's operand read on TPU so
+    the kernel's HBM traffic stays int8 (the same fusion the int8 KV
+    cache rides); the per-output-channel scale is applied post-dot —
+    (x @ q) * s == x @ (q * s) exactly.
+    """
+    k = p["kernel"]
+    if k.dtype == jnp.int8:
+        y = jnp.dot(x, k.astype(x.dtype), precision=precision)
+        return (y * p["scale"] + p["bias"]).astype(y.dtype)
+    return jnp.dot(x, k, precision=precision) + p["bias"]
 
 
 def _layer_norm(x: jnp.ndarray, p: Params, eps: float) -> jnp.ndarray:
@@ -65,6 +76,51 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     """[..., H, S, D] -> [..., S, H*D]"""
     y = jnp.swapaxes(x, -3, -2)
     return y.reshape(y.shape[:-2] + (-1,))
+
+
+def quantize_decoder_weights(params: Params) -> Params:
+    """Weight-only symmetric per-output-channel int8 of the per-layer
+    matmul kernels (attn c_attn/c_proj, mlp c_fc/c_proj) — a serving-time
+    transform for decode HBM-bandwidth relief.
+
+    MEASURED NEUTRAL on v5e — 1.004x greedy / 1.003x beam at the product
+    shape (docs/artifacts/weights_int8_ab.json) — and the compiled HLO
+    says why: the kernels are while_loop INVARIANTS, so XLA hoists the
+    int8->bf16 dequant out of the decode loop and materializes bf16
+    copies once per call; every step then reads the same bf16 bytes as
+    the unquantized path (verified: all s8 converts sit outside the
+    while-body call tree). The int8 KV cache wins precisely because the
+    cache is a loop CARRY — its dequant cannot be hoisted. The modeled
+    1.33x (kernels ~710 MB vs ~580 MB int8 KV per step) is therefore
+    unreachable via weight-only quantization under XLA's loop-invariant
+    code motion; forcing in-loop int8 reads would need int8-consuming
+    matmuls (W8A8 activation quantization — rejected: the beam int8
+    experiment showed requant machinery losing 3.2x, and GPT-2
+    activation outliers degrade W8A8 without smoothing).
+
+    Each quantized dense becomes {kernel int8 [in,out], scale f32 [out],
+    bias}; `_dense` consumes both formats. wte/wpe, layer norms, uk/uv
+    image adapters and the feature transform stay at their original dtype.
+    Kept as a serving knob (halves decoder param HBM at rest, useful for
+    co-residency) — default OFF; the reference serves f32 torch weights
+    (generate_reports_for_images.py).
+    """
+    out = dict(params)
+    for name, block in params.items():
+        if not name.startswith("h_"):
+            continue
+        bp = dict(block)
+        for grp_name, kernels in (("attn", ("c_attn", "c_proj")),
+                                  ("mlp", ("c_fc", "c_proj"))):
+            grp = dict(bp[grp_name])
+            for kn in kernels:
+                w = jnp.asarray(grp[kn]["kernel"], jnp.float32)
+                s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+                q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+                grp[kn] = {"kernel": q, "scale": s, "bias": grp[kn]["bias"]}
+            bp[grp_name] = grp
+        out[name] = bp
+    return out
 
 
 def init_decoder_params(rng: jax.Array, cfg: DecoderConfig,
@@ -573,13 +629,16 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     item via a one-hot ancestry contraction — softmax over exactly the T
     ancestry slots, numerically identical to the gathered path.
 
-    (A fused Pallas attention kernel was prototyped and deleted: three
-    formulations — python-unrolled heads, fori_loop heads, batched-dot /
-    VMEM-scratch heads — respectively blew up compile time, OOMed the
+    (Fused Pallas attention: three early formulations died —
+    python-unrolled heads blew up compile time, fori_loop heads OOMed the
     16 MB scoped-VMEM budget through cumulative per-iteration temporaries,
-    and crashed the Mosaic compiler with an opaque internal error; this
-    XLA one-hot path at ~7.5 ms/step on v5e is the shipped
-    implementation.)
+    batched-dot / VMEM-scratch heads crashed the Mosaic compiler with an
+    opaque internal error. A 4th formulation (ops/beam_attn_pallas.py:
+    grid over head-pair x item-block, pre-flattened selection mask,
+    single-contracting-dim 2-D matmuls) compiles and runs on v5e —
+    pass pallas_attn=True/int to use it; see
+    docs/artifacts/beam_pallas_attn_ab.json for the measured A/B vs this
+    XLA one-hot path, which remains the default.)
 
     Returns (logits [B*K, vocab], updated cache).
     """
@@ -607,12 +666,15 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
     h2, d = cfg.num_heads // 2, cfg.head_dim
 
     # fused Pallas attention (4th formulation — the first three died; see
-    # ops/beam_attn_pallas.py): packed layout only, item count must tile
-    use_pallas = pallas_attn and packed and not quantized
+    # ops/beam_attn_pallas.py): packed layout only, item count must tile.
+    # pallas_attn may be True (default block) or an int item_block.
+    use_pallas = bool(pallas_attn) and packed and not quantized
     if use_pallas:
         from rgrg_tpu.ops.beam_attn_pallas import (ITEM_BLOCK,
                                                    beam_attention_pallas)
-        use_pallas = b % ITEM_BLOCK == 0
+        item_block = (pallas_attn if isinstance(pallas_attn, int)
+                      and not isinstance(pallas_attn, bool) else ITEM_BLOCK)
+        use_pallas = b % item_block == 0
     if use_pallas:
         pallas_interpret = jax.default_backend() == "cpu"
         # per-row ancestry with visibility folded in as -1 (step-level,
@@ -699,7 +761,8 @@ def decode_step_beam(params: Params, token: jnp.ndarray, step: jnp.ndarray,
                     h2, b * k_beams * 2, 2 * d)
                 ctxp = beam_attention_pallas(
                     qz, cache[f"k_{i}"], cache[f"v_{i}"], anc_q,
-                    k_beams=k_beams, interpret=pallas_interpret)
+                    k_beams=k_beams, item_block=item_block,
+                    interpret=pallas_interpret)
                 ctxp = ctxp.reshape(h2, b, k_beams, 2, 2 * d).astype(x.dtype)
             else:
                 s_all = jnp.einsum("hbkpd,hbjtd->hbkpjt", qp, k_all,

@@ -69,6 +69,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                length_bucket_cascade: bool = True,
                                speculative_decode: bool = True,
                                initial_budget: Optional[int] = None,
+                               weights_int8: bool = False,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -116,6 +117,14 @@ def generate_reports_pipelined(gen: ReportGenerator,
     row count expected per batch (rounded up the ladder). With it, batch
     0 speculates too instead of paying the synchronous seed; a low value
     just costs a budget-miss re-decode, never wrong reports.
+    weights_int8: serve the decoder's per-layer matmul kernels as
+    weight-only per-output-channel int8 (gpt2.quantize_decoder_weights).
+    Measured throughput-NEUTRAL (1.00x greedy and beam,
+    docs/artifacts/weights_int8_ab.json): XLA hoists the loop-invariant
+    dequant out of the decode loop, so steady-state step bytes are
+    unchanged — see quantize_decoder_weights' docstring. Default OFF; it
+    halves decoder param HBM at rest (useful for multi-model
+    co-residency) but perturbs every layer's matmul (~0.5% relative).
     mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
     are replicated once, image batches are uploaded batch-sharded over the
     mesh's leading axis, and every jitted stage runs SPMD with XLA placing
@@ -156,15 +165,21 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 f"batch_size {batch_size} must be a multiple of "
                 f"detect_image_chunk {detect_image_chunk} (a non-dividing "
                 f"chunk silently disables chunking and can OOM)")
+    base_params = gen.params
+    if weights_int8:
+        from rgrg_tpu.models import gpt2
+        base_params = dict(base_params)
+        base_params["decoder"] = gpt2.quantize_decoder_weights(
+            base_params["decoder"])
     if mesh is not None:
         if batch_size % mesh.size != 0:
             raise ValueError(f"batch_size {batch_size} must be a multiple "
                              f"of mesh.size {mesh.size}")
         from rgrg_tpu.core import mesh as mesh_lib
-        params = mesh_lib.replicate_pytree(gen.params, mesh)
+        params = mesh_lib.replicate_pytree(base_params, mesh)
         shard = mesh_lib.batch_sharded(mesh)
     else:
-        params, shard = gen.params, None
+        params, shard = base_params, None
 
     # upload in the detector's compute dtype: with bf16 detector compute the
     # first conv casts f32 inputs to bf16 anyway, so a bf16 upload is
