@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--data-parallel", type=int, default=None, metavar="N",
                     help="shard batches over the first N devices "
                          "(data-parallel serving; batch-size must divide)")
+    ap.add_argument("--weights-int8", action="store_true",
+                    help="serve the decoder's matmul kernels as weight-only "
+                         "per-channel int8 (halves decoder param HBM at "
+                         "rest; throughput-neutral — see "
+                         "docs/artifacts/weights_int8_ab.json)")
     args = ap.parse_args()
 
     from rgrg_tpu.inference import ReportGenerator, write_generated_reports_to_txt
@@ -52,6 +57,7 @@ def main():
                                             num_beams=args.num_beams,
                                             max_length=args.max_length,
                                             detect_image_chunk=args.detect_image_chunk,
+                                            weights_int8=args.weights_int8,
                                             mesh=mesh):
         reports.extend(chunk)
         done = len(reports)
