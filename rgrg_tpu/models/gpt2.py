@@ -48,6 +48,13 @@ def _dense(x: jnp.ndarray, p: Params, precision=None) -> jnp.ndarray:
     cache rides); the per-output-channel scale is applied post-dot —
     (x @ q) * s == x @ (q * s) exactly.
     """
+    if "kernel_q" in p:
+        # Pallas-consumed int8 (quantize_decoder_weights layout="pallas"):
+        # the dequant happens inside the kernel, in VMEM, so XLA cannot
+        # hoist it out of the decode while_loop — per-step weight HBM
+        # traffic stays int8 (ops/dense_wint8_pallas.py).
+        from rgrg_tpu.ops.dense_wint8_pallas import dense_wint8
+        return dense_wint8(x, p["kernel_q"], p["scale"], p["bias"])
     k = p["kernel"]
     if k.dtype == jnp.int8:
         y = jnp.dot(x, k.astype(x.dtype), precision=precision)
@@ -78,7 +85,7 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(y.shape[:-2] + (-1,))
 
 
-def quantize_decoder_weights(params: Params) -> Params:
+def quantize_decoder_weights(params: Params, layout: str = "xla") -> Params:
     """Weight-only symmetric per-output-channel int8 of the per-layer
     matmul kernels (attn c_attn/c_proj, mlp c_fc/c_proj) — a serving-time
     transform for decode HBM-bandwidth relief.
@@ -104,7 +111,19 @@ def quantize_decoder_weights(params: Params) -> Params:
     Kept as a serving knob (halves decoder param HBM at rest, useful for
     co-residency) — default OFF; the reference serves f32 torch weights
     (generate_reports_for_images.py).
+
+    layout="pallas" stores the same int8 grid for CONSUMPTION by the
+    Pallas dense kernel (ops/dense_wint8_pallas.py): dense dicts become
+    {"kernel_q": int8 [in, out], "scale": f32 [1, out], "bias"} and
+    `_dense` dequantizes INSIDE the kernel, in VMEM — the loop-invariant
+    hoisting that neutralizes the XLA layout cannot apply, so decode's
+    per-step weight HBM traffic genuinely halves. MEASURED NEGATIVE
+    anyway (0.962x bf16, docs/artifacts/weights_int8_pallas_ab.json):
+    96 per-op kernel launches/step cost more than the bytes save — see
+    the kernel's module docstring. Both layouts stay opt-in knobs.
     """
+    if layout not in ("xla", "pallas"):
+        raise ValueError(f"unknown layout {layout!r}")
     out = dict(params)
     for name, block in params.items():
         if not name.startswith("h_"):
@@ -117,7 +136,12 @@ def quantize_decoder_weights(params: Params) -> Params:
                 w = jnp.asarray(grp[kn]["kernel"], jnp.float32)
                 s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
                 q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
-                grp[kn] = {"kernel": q, "scale": s, "bias": grp[kn]["bias"]}
+                if layout == "pallas":
+                    grp[kn] = {"kernel_q": q, "scale": s[None, :],
+                               "bias": grp[kn]["bias"]}
+                else:
+                    grp[kn] = {"kernel": q, "scale": s,
+                               "bias": grp[kn]["bias"]}
             bp[grp_name] = grp
         out[name] = bp
     return out

@@ -69,7 +69,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                length_bucket_cascade: bool = True,
                                speculative_decode: bool = True,
                                initial_budget: Optional[int] = None,
-                               weights_int8: bool = False,
+                               weights_int8=False,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -125,6 +125,13 @@ def generate_reports_pipelined(gen: ReportGenerator,
     unchanged — see quantize_decoder_weights' docstring. Default OFF; it
     halves decoder param HBM at rest (useful for multi-model
     co-residency) but perturbs every layer's matmul (~0.5% relative).
+    weights_int8="pallas" additionally routes those matmuls through the
+    Pallas kernel that consumes the int8 weights directly
+    (ops/dense_wint8_pallas.py) — the dequant happens in VMEM inside the
+    kernel, out of reach of the hoisting, so decode's per-step weight
+    HBM traffic genuinely halves; measured 0.962x bf16 anyway (per-op
+    launch overhead, docs/artifacts/weights_int8_pallas_ab.json) — use
+    it when decoder HBM co-residency matters more than ~4% throughput.
     mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
     are replicated once, image batches are uploaded batch-sharded over the
     mesh's leading axis, and every jitted stage runs SPMD with XLA placing
@@ -170,7 +177,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
         from rgrg_tpu.models import gpt2
         base_params = dict(base_params)
         base_params["decoder"] = gpt2.quantize_decoder_weights(
-            base_params["decoder"])
+            base_params["decoder"],
+            layout="pallas" if weights_int8 == "pallas" else "xla")
     if mesh is not None:
         if batch_size % mesh.size != 0:
             raise ValueError(f"batch_size {batch_size} must be a multiple "

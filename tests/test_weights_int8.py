@@ -143,3 +143,94 @@ def test_serving_knob_weights_int8(tmp_path):
     for a, b in zip(base, quant):
         assert a.report == b.report
         np.testing.assert_array_equal(a.selected_regions, b.selected_regions)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-consumed int8 layout (ops/dense_wint8_pallas.py)
+# ---------------------------------------------------------------------------
+
+def test_dense_wint8_kernel_matches_oracle():
+    """The Pallas kernel (interpret mode on CPU) reproduces the XLA dequant
+    formulation at shapes that tile, with and without bias, and through
+    leading batch dims; non-tiling shapes take the fallback and agree too."""
+    from rgrg_tpu.ops.dense_wint8_pallas import dense_wint8
+
+    rng = np.random.default_rng(0)
+
+    def oracle(x, q, s, b):
+        acc = x.astype(np.float32) @ q.astype(np.float32)
+        acc = acc * s.reshape(1, -1)
+        if b is not None:
+            acc = acc + b.reshape(1, -1)
+        return acc
+
+    for m, k, n, lead in ((16, 128, 512, ()), (8, 256, 1024, ()),
+                          (16, 128, 512, (4,)),  # leading batch dim
+                          (5, 96, 100, ())):     # non-tiling -> fallback
+        x = rng.normal(size=lead + (m, k)).astype(np.float32)
+        q = rng.integers(-127, 128, size=(k, n)).astype(np.int8)
+        s = rng.uniform(0.01, 0.1, size=(1, n)).astype(np.float32)
+        b = rng.normal(size=(n,)).astype(np.float32)
+        for bias in (b, None):
+            got = np.asarray(dense_wint8(jnp.asarray(x), jnp.asarray(q),
+                                         jnp.asarray(s),
+                                         None if bias is None
+                                         else jnp.asarray(bias)))
+            want = oracle(x.reshape(-1, k), q, s, bias).reshape(
+                lead + (m, n))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_pallas_layout_decode_token_identical():
+    """Grid-exact weights through layout="pallas" decode token-for-token
+    identically to the unquantized tree (greedy and beam) — same pin as the
+    XLA layout."""
+    cfg = _tiny_cfg()
+    params = _snap_to_int8_grid(
+        gpt2.init_decoder_params(jax.random.PRNGKey(5), cfg))
+    qparams = gpt2.quantize_decoder_weights(params, layout="pallas")
+    assert qparams["h_0"]["attn"]["c_attn"]["kernel_q"].dtype == jnp.int8
+    assert qparams["h_0"]["attn"]["c_attn"]["scale"].shape == (1, 3 * 32)
+
+    from rgrg_tpu.decode.greedy import greedy_generate
+    feats = jax.random.normal(jax.random.PRNGKey(6),
+                              (4, cfg.image_feature_dim))
+    ids_f = greedy_generate(params, feats, cfg, max_length=16)
+    ids_q = greedy_generate(qparams, feats, cfg, max_length=16)
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_q))
+
+    from rgrg_tpu.decode.beam import beam_generate
+    ids_f = beam_generate(params, feats, cfg, max_length=12, num_beams=2)
+    ids_q = beam_generate(qparams, feats, cfg, max_length=12, num_beams=2)
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_q))
+
+
+def test_serving_knob_weights_int8_pallas(tmp_path):
+    """weights_int8="pallas" serves end-to-end and, with grid-exact
+    kernels, produces reports identical to the unquantized pipeline."""
+    import cv2
+    from rgrg_tpu.inference import ReportGenerator
+    from rgrg_tpu.serving import generate_reports_pipelined
+    from rgrg_tpu.models.full_model import RGRG
+    from rgrg_tpu.text.tokenizer import GPT2Tokenizer
+    from tests.test_full_model import SMOKE_CFG
+
+    model = RGRG(cfg=SMOKE_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    params["decoder"] = _snap_to_int8_grid(params["decoder"])
+    gen = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=SMOKE_CFG)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"i{i}.png")
+        cv2.imwrite(p, np.random.default_rng(i).uniform(
+            0, 255, (96, 80)).astype(np.uint8))
+        paths.append(p)
+    kwargs = dict(batch_size=2, num_beams=1, max_length=6,
+                  kv_cache_dtype=None)
+    base = [r for c in generate_reports_pipelined(gen, paths, **kwargs)
+            for r in c]
+    quant = [r for c in generate_reports_pipelined(
+        gen, paths, weights_int8="pallas", **kwargs) for r in c]
+    assert len(base) == len(quant) == 2
+    for a, b in zip(base, quant):
+        assert a.report == b.report
