@@ -115,12 +115,15 @@ class DetectorConfig:
     # halves HBM traffic of the pooled-feature materialization and runs the
     # MXU at full bf16 rate; "float32" for parity testing). Params stay f32.
     dtype: str = "float32"
-    # Pallas kernel dispatch (ops/nms_pallas.py, ops/roi_align_pallas.py).
-    # The Pallas RoIAlign fuses weight construction + both contractions in
-    # VMEM (measured ~16% faster than the XLA path at 1000 ROIs on v5e) but
-    # runs its MXU dots at default precision — keep False for f32 parity.
+    # Pallas NMS dispatch (ops/nms_pallas.py); keep False for f32 parity.
     use_pallas_nms: bool = False
-    use_pallas_roi_align: bool = False
+    # RoIAlign formulation: None = auto (the fused outer-product matmul for
+    # bf16 serving compute, the separable 2-einsum for f32 parity);
+    # "separable" | "fused" | "pallas" force one. Measured at serving chunk
+    # shapes (B=24, 256 ROIs, docs/artifacts/roi_pooled_formulations.json):
+    # fused 2.43 ms vs separable 12.57 / pallas 13.27 — the separable form's
+    # [B, N, P, W, C] HBM intermediate is the cost, not the FLOPs.
+    roi_align_impl: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

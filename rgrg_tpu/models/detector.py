@@ -32,7 +32,7 @@ from rgrg_tpu.core.config import DetectorConfig
 from rgrg_tpu.ops import anchors as anchors_lib
 from rgrg_tpu.ops import boxes as box_ops
 from rgrg_tpu.ops import nms as nms_lib
-from rgrg_tpu.ops.roi_align import roi_align
+from rgrg_tpu.ops.roi_align import roi_align, roi_align_fused_batched
 from rgrg_tpu.models.heads import (
     BinaryClassifierMLP, FastRCNNPredictor, RPNHead, TwoMLPHead)
 from rgrg_tpu.models.resnet import ResNetBackbone
@@ -125,6 +125,34 @@ class RegionDetector(nn.Module):
                 proposals, jax.lax.stop_gradient(objectness))
         return boxes, keep, (objectness, deltas, anchors)
 
+    def _pool_batch_fn(self):
+        """RoIAlign implementation picked by cfg.roi_align_impl.
+
+        Auto (None): the fused outer-product matmul for bf16 compute — 5.2x
+        the separable 2-einsum at serving chunk shapes (its [B, N, P, W, C]
+        HBM intermediate is the cost; docs/artifacts/
+        roi_pooled_formulations.json) — and the separable form for f32,
+        whose two HIGHEST-precision einsums reproduce torchvision's exact
+        associativity (ops/roi_align.py docstring).
+        """
+        impl = self.cfg.roi_align_impl
+        if impl is None:
+            impl = ("fused" if jnp.dtype(self.cfg.dtype) == jnp.bfloat16
+                    else "separable")
+        kw = dict(output_size=self.cfg.roi.output_size,
+                  spatial_scale=1.0 / C.BACKBONE_STRIDE,
+                  sampling_ratio=self.cfg.roi.sampling_ratio)
+        if impl == "pallas":
+            from rgrg_tpu.ops.roi_align_pallas import roi_align_pallas_batched
+            return lambda f, bx: roi_align_pallas_batched(f, bx, **kw)
+        if impl == "fused":
+            return lambda f, bx: roi_align_fused_batched(
+                f, bx, compute_dtype=jnp.dtype(self.cfg.dtype), **kw)
+        if impl != "separable":
+            raise ValueError(f"unknown roi_align_impl: {impl!r}")
+        return lambda f, bx: jax.vmap(lambda fi, bi: roi_align(
+            fi, bi, compute_dtype=jnp.dtype(self.cfg.dtype), **kw))(f, bx)
+
     def roi_forward(self, feats: jnp.ndarray, boxes: jnp.ndarray):
         """RoIAlign + box head for a batch of padded proposal boxes.
 
@@ -142,21 +170,7 @@ class RegionDetector(nn.Module):
         """
         b, k, _ = boxes.shape
         chunk = min(self.cfg.roi.proposal_chunk, k)
-        if self.cfg.use_pallas_roi_align:
-            from rgrg_tpu.ops.roi_align_pallas import roi_align_pallas_batched
-
-            def _pool_batch(f, bx):
-                return roi_align_pallas_batched(
-                    f, bx, output_size=self.cfg.roi.output_size,
-                    spatial_scale=1.0 / C.BACKBONE_STRIDE,
-                    sampling_ratio=self.cfg.roi.sampling_ratio)
-        else:
-            def _pool_batch(f, bx):
-                return jax.vmap(lambda fi, bi: roi_align(
-                    fi, bi, output_size=self.cfg.roi.output_size,
-                    spatial_scale=1.0 / C.BACKBONE_STRIDE,
-                    sampling_ratio=self.cfg.roi.sampling_ratio,
-                    compute_dtype=jnp.dtype(self.cfg.dtype)))(f, bx)
+        _pool_batch = self._pool_batch_fn()
         outs = []
         for start in range(0, k, chunk):
             sl = boxes[:, start:start + chunk]
@@ -178,11 +192,7 @@ class RegionDetector(nn.Module):
 
         feats: [B, 16, 16, 2048]; boxes: [B, N, 4] -> [B, N, 1024].
         """
-        pooled = jax.vmap(lambda f, b: roi_align(
-            f, b, output_size=self.cfg.roi.output_size,
-            spatial_scale=1.0 / C.BACKBONE_STRIDE,
-            sampling_ratio=self.cfg.roi.sampling_ratio,
-            compute_dtype=jnp.dtype(self.cfg.dtype)))(feats, boxes)
+        pooled = self._pool_batch_fn()(feats, boxes)
         box_features = pooled.mean(axis=(-3, -2))
         return self.dim_reduction(box_features).astype(jnp.float32)
 

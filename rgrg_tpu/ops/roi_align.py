@@ -125,3 +125,45 @@ def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray, **kw) -> jnp.nd
     """vmap over a batch: features [B, H, W, C], boxes [B, N, 4]
     -> [B, N, P, P, C]."""
     return jax.vmap(lambda f, b: roi_align(f, b, **kw))(features, boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale",
+                                              "sampling_ratio", "compute_dtype"))
+def roi_align_fused_batched(features: jnp.ndarray, boxes: jnp.ndarray, *,
+                            output_size: int = 8,
+                            spatial_scale: float = 1.0 / 32.0,
+                            sampling_ratio: int = 2,
+                            compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """RoIAlign as ONE batched matmul: out = (Ay ⊗ Ax) @ F.
+
+    Same math as `roi_align` (out[n,p,q,c] = Σ_{h,w} Ay[n,p,h] Ax[n,q,w]
+    F[h,w,c]) but with the two separable contractions FUSED by building the
+    combined weight W2[n, (p,q), (h,w)] = Ay[n,p,h]·Ax[n,q,w] explicitly and
+    contracting the (h,w) axis once. The separable form does ~5x fewer FLOPs
+    but materializes a [B, N, P, W, C] intermediate in HBM between its two
+    einsums (~3.2 GB/chunk at serving shapes — write+read ≈ the observed
+    ~7 ms/chunk); the fused form's traffic is just W2 (~200 MB) + the pooled
+    output, and its single [B, N·P², H·W] @ [B, H·W, C] matmul has MXU-clean
+    dims (K = H·W = 256). Serving fast path; the f32 parity path keeps the
+    separable form (exact torchvision associativity, ops above).
+
+    features: [B, H, W, C]; boxes: [B, N, 4] -> [B, N, P, P, C] compute_dtype.
+    """
+    bsz, h, w, c = features.shape
+    n = boxes.shape[1]
+    p = output_size
+
+    def weights(bx):
+        ay, ax = roi_align_weights(bx, h, w, p, spatial_scale, sampling_ratio)
+        w2 = jnp.einsum("nph,nqw->npqhw", ay, ax)          # f32, [N,P,P,H,W]
+        return w2.reshape(n, p * p, h * w).astype(compute_dtype)
+
+    w2 = jax.vmap(weights)(boxes)                           # [B, N, P*P, H*W]
+    f = features.astype(compute_dtype).reshape(bsz, h * w, c)
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32 else None)
+    out = jax.lax.dot_general(
+        w2.reshape(bsz, n * p * p, h * w), f,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision)
+    return out.reshape(bsz, n, p, p, c).astype(compute_dtype)

@@ -168,6 +168,28 @@ class TestEndToEnd:
         assert out["selected_regions"].shape == (1, 29)
 
 
+def test_roi_forward_impl_equivalence():
+    """roi_forward is numerically impl-independent in f32: the fused
+    outer-product RoIAlign (serving default for bf16) and the separable
+    parity form feed identical features to the box head."""
+    cfg = dataclasses.replace(SMALL_CFG, backbone_stages=(1, 1, 1, 1))
+    det = RegionDetector(cfg=cfg)
+    img = jax.random.normal(jax.random.PRNGKey(5), (2, 512, 512, 1)) * 0.5
+    variables = det.init(jax.random.PRNGKey(4), img, train=False)
+    feats = det.apply(variables, img, train=False,
+                      method=det.backbone_features)
+    x1 = jax.random.uniform(jax.random.PRNGKey(6), (2, 16), maxval=480.0)
+    y1 = jax.random.uniform(jax.random.PRNGKey(7), (2, 16), maxval=480.0)
+    boxes = jnp.stack([x1, y1, x1 + 30.0, y1 + 25.0], axis=-1)
+    outs = {}
+    for impl in ("separable", "fused"):
+        d = RegionDetector(cfg=dataclasses.replace(cfg, roi_align_impl=impl))
+        outs[impl] = d.apply(variables, feats, boxes, method=d.roi_forward)
+    for a, b in zip(outs["separable"], outs["fused"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_top1_per_class_reference_tie_semantics():
     """Reference argmax is over the 29 region columns only: even when
     background dominates, each valid proposal still 'predicts' its best

@@ -120,6 +120,33 @@ class TestRoIAlign:
             want = roi_align_oracle(feats[b], boxes[b], 8, 1 / 32.0, 2)
             np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-4)
 
+    def test_fused_matches_oracle_f32(self):
+        """The fused outer-product formulation is the same math as the
+        separable path (different associativity only): oracle-exact in f32."""
+        feats = RNG.normal(0, 1, (2, 16, 16, 6)).astype(np.float32)
+        boxes = np.stack([random_boxes(7), random_boxes(7)])
+        got = np.asarray(roi_lib.roi_align_fused_batched(
+            jnp.asarray(feats), jnp.asarray(boxes), compute_dtype=jnp.float32))
+        for b in range(2):
+            want = roi_align_oracle(feats[b], boxes[b], 8, 1 / 32.0, 2)
+            np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-5)
+
+    def test_fused_bf16_close_to_f32(self):
+        """bf16 fused (the serving default) stays within bf16 resolution of
+        the f32 separable parity path on edge + random boxes."""
+        feats = RNG.normal(0, 1, (1, 16, 16, 8)).astype(np.float32)
+        boxes = np.concatenate([
+            random_boxes(5),
+            np.array([[0.0, 0.0, 512.0, 512.0],
+                      [500.0, 500.0, 512.0, 512.0],
+                      [0.0, 0.0, 0.5, 0.5]], np.float32)])[None]
+        ref = np.asarray(roi_lib.roi_align_batched(
+            jnp.asarray(feats), jnp.asarray(boxes)))
+        got = np.asarray(roi_lib.roi_align_fused_batched(
+            jnp.asarray(feats), jnp.asarray(boxes),
+            compute_dtype=jnp.bfloat16).astype(jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.03)
+
 
 class TestNMS:
     def _run_both(self, n, thresh, seed):
