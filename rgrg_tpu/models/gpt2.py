@@ -54,7 +54,8 @@ def _dense(x: jnp.ndarray, p: Params, precision=None) -> jnp.ndarray:
         # hoist it out of the decode while_loop — per-step weight HBM
         # traffic stays int8 (ops/dense_wint8_pallas.py).
         from rgrg_tpu.ops.dense_wint8_pallas import dense_wint8
-        return dense_wint8(x, p["kernel_q"], p["scale"], p["bias"])
+        return dense_wint8(x, p["kernel_q"], p["scale"], p["bias"],
+                           precision=precision)
     k = p["kernel"]
     if k.dtype == jnp.int8:
         y = jnp.dot(x, k.astype(x.dtype), precision=precision)

@@ -109,14 +109,17 @@ def _dense_wint8_pallas(x, q, scale, bias, *, block_n, interpret):
 
 def dense_wint8(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
-                block_n: int = BLOCK_N) -> jnp.ndarray:
+                block_n: int = BLOCK_N,
+                precision=None) -> jnp.ndarray:
     """y = (x @ q) * scale (+ bias), q int8 [K, N], scale [1, N] f32.
 
     x may carry leading batch dims ([..., K]); they are flattened for the
     kernel (lane-preserving reshape, free) and restored on the output.
     Shapes that don't tile fall back to the XLA dequant formulation
     (numerically equivalent: scale applied on the f32 accumulator either
-    way).
+    way); `precision` is honored there (the Pallas kernel always
+    accumulates f32 via preferred_element_type, so HIGHEST-precision
+    parity callers get f32 accumulation on both paths).
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -137,7 +140,8 @@ def dense_wint8(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
             interpret=jax.default_backend() == "cpu")
     else:
         acc = jnp.dot(x2, q.astype(x2.dtype),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
         acc = acc * scale[0][None, :]
         if bias is not None:
             acc = acc + bias[0][None, :].astype(jnp.float32)

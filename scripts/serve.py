@@ -11,7 +11,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def main():
+def build_parser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--tokenizer-dir", required=True)
@@ -28,12 +28,21 @@ def main():
     ap.add_argument("--data-parallel", type=int, default=None, metavar="N",
                     help="shard batches over the first N devices "
                          "(data-parallel serving; batch-size must divide)")
-    ap.add_argument("--weights-int8", action="store_true",
+    ap.add_argument("--weights-int8", nargs="?", const="xla", default="off",
+                    choices=("off", "xla", "pallas"),
                     help="serve the decoder's matmul kernels as weight-only "
-                         "per-channel int8 (halves decoder param HBM at "
-                         "rest; throughput-neutral — see "
-                         "docs/artifacts/weights_int8_ab.json)")
-    args = ap.parse_args()
+                         "per-channel int8. 'xla' (the bare-flag default) "
+                         "halves decoder param HBM at rest, throughput-"
+                         "neutral (docs/artifacts/weights_int8_ab.json); "
+                         "'pallas' also halves in-loop weight HBM traffic "
+                         "via int8-consuming kernels but measured 0.962x "
+                         "(docs/artifacts/weights_int8_pallas_ab.json) — "
+                         "use it only for co-residency, not throughput")
+    return ap
+
+
+def main():
+    args = build_parser().parse_args()
 
     from rgrg_tpu.inference import ReportGenerator, write_generated_reports_to_txt
     from rgrg_tpu.serving import generate_reports_pipelined
@@ -57,7 +66,9 @@ def main():
                                             num_beams=args.num_beams,
                                             max_length=args.max_length,
                                             detect_image_chunk=args.detect_image_chunk,
-                                            weights_int8=args.weights_int8,
+                                            weights_int8=(False
+                                                          if args.weights_int8 == "off"
+                                                          else args.weights_int8),
                                             mesh=mesh):
         reports.extend(chunk)
         done = len(reports)

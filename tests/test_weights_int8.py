@@ -234,3 +234,22 @@ def test_serving_knob_weights_int8_pallas(tmp_path):
     assert len(base) == len(quant) == 2
     for a, b in zip(base, quant):
         assert a.report == b.report
+
+
+def test_serve_cli_weights_int8_flag():
+    """scripts/serve.py exposes all three weight-int8 modes (ADVICE r4):
+    bare flag selects the throughput-neutral XLA layout, an explicit
+    value can pick the Pallas co-residency layout, default is off."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", os.path.join(os.path.dirname(__file__), "..",
+                                  "scripts", "serve.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    parser = mod.build_parser()
+    base = ["--checkpoint", "c", "--tokenizer-dir", "t", "--image-dir", "i"]
+    assert parser.parse_args(base).weights_int8 == "off"
+    assert parser.parse_args(base + ["--weights-int8"]).weights_int8 == "xla"
+    assert parser.parse_args(
+        base + ["--weights-int8", "pallas"]).weights_int8 == "pallas"
