@@ -77,6 +77,11 @@ def convert_full_checkpoint(state_dict: Mapping[str, Any],
     binary_classifier_region_abnormal.*, language_model.* .
     """
     sd = tc.state_dict_to_numpy(state_dict)
+    if sd and all(k.startswith("module.") for k in sd):
+        # nn.DataParallel-wrapped save (the convention the reference's
+        # CheXbert weights use, evaluate_language_model.py:166-174) —
+        # strip the uniform prefix so wrapped full-model saves load too.
+        sd = tc.strip_prefix(sd, "module.")
     sd = normalize_rpn_conv_keys(sd)
 
     det_sd = tc.strip_prefix(sd, "object_detector.")

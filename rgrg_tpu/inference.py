@@ -60,13 +60,15 @@ class ReportGenerator:
 
     @classmethod
     def from_torch_checkpoint(cls, checkpoint_path: str, tokenizer_dir: str,
+                              cfg: ModelConfig = ModelConfig(),
                               **kw) -> "ReportGenerator":
         from rgrg_tpu.core.checkpoint import (convert_full_checkpoint,
                                               load_torch_checkpoint)
         sd = load_torch_checkpoint(checkpoint_path)
-        params = jax.tree.map(jnp.asarray, convert_full_checkpoint(sd))
+        params = jax.tree.map(jnp.asarray, convert_full_checkpoint(
+            sd, num_layers=cfg.decoder.num_layers))
         tok = GPT2Tokenizer.from_dir(tokenizer_dir)
-        return cls(params, tok, **kw)
+        return cls(params, tok, cfg=cfg, **kw)
 
     @classmethod
     def from_orbax(cls, path: str, tokenizer_dir: str, **kw) -> "ReportGenerator":
