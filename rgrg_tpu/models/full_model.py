@@ -284,7 +284,8 @@ class RGRG:
                                 buckets: Optional[Tuple[int, ...]] = None,
                                 first_count: Optional[int] = None,
                                 num_beams: int = 1,
-                                early_stopping: bool = False
+                                early_stopping: bool = False,
+                                stats=None, stats_rung1: bool = True
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Decode (greedy or beam) through the static length-bucket ladder.
 
@@ -316,6 +317,13 @@ class RGRG:
         its first bucket inside detect_and_decode and continues here).
         first_count: the selection count for the FIRST bucket when the
         caller already read it back (saves one ~27 ms tunnel sync).
+        stats: optional serving.CascadeStats — records rows entering each
+        rung (the per-rung counts ARE host-synced here anyway to pick the
+        bucket, so telemetry costs nothing extra). The cascade's measured
+        WORST case is 1.37x slower than a single full-length decode
+        (docs/artifacts/beam_eval_cascade.json: nothing closes at rung 1);
+        callers serving many batches use the stats to bail out of the
+        ladder when observed closure is low (serving.py).
         Returns (output_ids [B, 29, max_length], decoded_mask [B, 29]).
         """
         b = region_features.shape[0]
@@ -330,12 +338,22 @@ class RGRG:
 
         output_ids, decoded_mask = None, None
         remaining = jnp.asarray(selected_regions)
+        n_first = None
         for j, bucket in enumerate(buckets):
             bucket = min(bucket, max_length)
             if j == 0 and first_count is not None:
                 n_rem = first_count
             else:
                 n_rem = int(jnp.sum(remaining))  # host sync: picks the bucket
+            if j == 0:
+                n_first = n_rem
+            elif j == 1 and stats is not None and stats_rung1:
+                # rung-1 closure drives the serving bail-out;
+                # stats_rung1=False when the caller ran rung 1 itself
+                # (serving's fused branch) and recorded this already
+                stats.record_rung1(n_first, n_rem)
+            if stats is not None:
+                stats.record_rung(bucket, n_rem)
             if output_ids is not None and n_rem == 0:
                 break
             res = self.decode_selected(

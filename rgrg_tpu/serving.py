@@ -15,13 +15,79 @@ the transfer/sync cost lands in stage T's np.asarray, off the critical path.
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Iterator, List, Optional, Sequence, Union
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Union
 
 import numpy as np
 
 from rgrg_tpu.inference import GeneratedReport, ReportGenerator
 from rgrg_tpu.core import constants as C
 from rgrg_tpu.text.report import assemble_report
+
+
+@dataclasses.dataclass
+class CascadeStats:
+    """Closure telemetry + bail-out policy for the length-bucket cascade.
+
+    The cascade's envelope speedup (2.42x, beam_eval_cascade.json) assumes
+    the reference's length distribution: ~95% of region sentences fit the
+    first bucket. Its measured WORST case — nothing closes at rung 1 — is
+    1.37x SLOWER than decoding at max_length directly (the rung-1 decode
+    is pure overhead). This object records the observed rung-1 closure
+    rate across batches; when enough rows have been seen and closure is
+    below `threshold`, `should_bail()` turns True and the serving loop
+    skips the ladder for subsequent batches (decode at max_length
+    directly). Break-even: rung-1 cost is ~0.37x of a full-length decode,
+    so the ladder wins whenever closure saves more full-length rows than
+    the rung-1 overhead costs — closure ~0.3 is roughly break-even at the
+    measured shape; the default threshold 0.5 bails only on distributions
+    clearly unlike the assumption.
+
+    Closure definition (uniform across modes): a selected row is closed at
+    rung 1 iff it does NOT re-decode at rung 2 — greedy: EOS fit inside
+    the bucket; beam: the search CLOSED and the best hypothesis fit (see
+    decode_selected_cascade's docstring).
+    """
+    threshold: float = 0.5
+    min_rows: int = 64
+    rows_selected: int = 0
+    rows_closed_rung1: int = 0
+    batches: int = 0
+    bailed_out: bool = False
+    rung_rows: Dict[int, int] = dataclasses.field(default_factory=dict)
+
+    def record_rung1(self, selected: int, remaining: int) -> None:
+        self.batches += 1
+        self.rows_selected += int(selected)
+        self.rows_closed_rung1 += int(selected) - int(remaining)
+
+    def record_rung(self, bucket: int, entering: int) -> None:
+        """Rows entering the decode at cache size `bucket` (rung >= 2 of
+        the overall ladder when called from continue_cascade)."""
+        self.rung_rows[int(bucket)] = (self.rung_rows.get(int(bucket), 0)
+                                       + int(entering))
+
+    def closure_rate(self) -> Optional[float]:
+        if not self.rows_selected:
+            return None
+        return self.rows_closed_rung1 / self.rows_selected
+
+    def should_bail(self) -> bool:
+        rate = self.closure_rate()
+        return (not self.bailed_out and rate is not None
+                and self.rows_selected >= self.min_rows
+                and rate < self.threshold)
+
+    def snapshot(self) -> Dict:
+        return {
+            "batches": self.batches,
+            "rows_selected": self.rows_selected,
+            "rows_closed_rung1": self.rows_closed_rung1,
+            "rung1_closure_rate": self.closure_rate(),
+            "rows_entering_rung": dict(sorted(self.rung_rows.items())),
+            "bailed_out": self.bailed_out,
+            "threshold": self.threshold,
+        }
 
 
 def _postprocess(gen: ReportGenerator, device_out, n_images: int
@@ -70,6 +136,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
                                speculative_decode: bool = True,
                                initial_budget: Optional[int] = None,
                                weights_int8=False,
+                               cascade_stats: Optional[CascadeStats] = None,
                                ) -> Iterator[List[GeneratedReport]]:
     """Yields one list of GeneratedReport per batch, in order.
 
@@ -132,6 +199,12 @@ def generate_reports_pipelined(gen: ReportGenerator,
     HBM traffic genuinely halves; measured 0.962x bf16 anyway (per-op
     launch overhead, docs/artifacts/weights_int8_pallas_ab.json) — use
     it when decoder HBM co-residency matters more than ~4% throughput.
+    cascade_stats: optional CascadeStats collecting per-rung closure
+    telemetry; also the bail-out policy knobs (threshold/min_rows). One is
+    created internally when the cascade is active so the bail-out always
+    guards the worst case — pass your own to read the telemetry afterwards
+    (the eval driver publishes it in its artifact) or to tune/disable the
+    policy (threshold=0 never bails).
     mesh: optional jax.sharding.Mesh for DATA-PARALLEL serving — params
     are replicated once, image batches are uploaded batch-sharded over the
     mesh's leading axis, and every jitted stage runs SPMD with XLA placing
@@ -216,6 +289,13 @@ def generate_reports_pipelined(gen: ReportGenerator,
     buckets_cfg = gen.model.cfg.generation.length_buckets
     b1 = min(buckets_cfg[0], max_length) if buckets_cfg else max_length
     cascade_on = length_bucket_cascade and max_length > b1
+    # mutable: flips False when observed rung-1 closure says the ladder is
+    # losing (CascadeStats docstring) — subsequent batches decode at
+    # max_length directly
+    cascade_active = cascade_on
+    stats = cascade_stats
+    if stats is None and cascade_on:
+        stats = CascadeStats()
     pad_id = gen.model.cfg.decoder.pad_token_id
 
     recent_budgets: List[int] = []   # last few actual ladder budgets
@@ -240,18 +320,21 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 params, out["region_features"], rem, max_length,
                 kv_cache_dtype=kv, mesh=mesh, buckets=rest,
                 first_count=int(rem.sum()), num_beams=num_beams,
-                early_stopping=early_stopping)
+                early_stopping=early_stopping,
+                stats=stats, stats_rung1=False)  # rung 1 recorded by caller
             ids = jnp.where(jnp.asarray(rem)[:, :, None], ids2, ids)
             decoded = decoded | dec2
         return ids, decoded
 
-    def finalize_speculative(out, budget):
+    def finalize_speculative(out, budget, was_cascade):
         """Validation readback for a speculatively-dispatched fused batch:
         called AFTER the next batch's work is queued, so the fetch (which
         waits out this batch's compute) overlaps the next batch's compute.
-        Returns the postprocess-ready output dict."""
+        was_cascade: whether the fused dispatch decoded at bucket b1 (the
+        cascade flag AT DISPATCH TIME — a bail-out may have flipped the
+        live flag since). Returns the postprocess-ready output dict."""
         fetch = [out["selected_regions"]]
-        if cascade_on:
+        if was_cascade:
             fetch += [out["output_ids"][:, :, b1 - 1], out["decoded_mask"]]
             if num_beams > 1:
                 fetch.append(out["decode_done"])
@@ -269,14 +352,18 @@ def generate_reports_pipelined(gen: ReportGenerator,
                 params, out["region_features"], out["selected_regions"],
                 max_length, kv_cache_dtype=kv, mesh=mesh,
                 first_count=num_selected, num_beams=num_beams,
-                early_stopping=early_stopping)
-        elif cascade_on:
+                early_stopping=early_stopping,
+                buckets=None if was_cascade else (max_length,), stats=stats)
+        elif was_cascade:
             last_col, dec1 = got[1], got[2]
             unfin = last_col != pad_id
             if num_beams > 1:
                 unfin |= ~got[3]
-            ids, decoded = continue_cascade(out, ids, decoded,
-                                            sel_np & dec1 & unfin)
+            rem = sel_np & dec1 & unfin
+            if stats is not None:
+                stats.record_rung(b1, num_selected)
+                stats.record_rung1(num_selected, int(rem.sum()))
+            ids, decoded = continue_cascade(out, ids, decoded, rem)
         return {
             "output_ids": ids,
             "decoded_mask": decoded,
@@ -300,7 +387,7 @@ def generate_reports_pipelined(gen: ReportGenerator,
         post_future = None
         det_ahead = {}  # batch index -> already-dispatched detect outputs
         # batch awaiting its speculative validation readback:
-        # (fused outputs, n real images, predicted budget)
+        # (fused outputs, n real images, predicted budget, was_cascade)
         spec_pending = None
 
         def submit_post(device_out, n_images):
@@ -311,6 +398,14 @@ def generate_reports_pipelined(gen: ReportGenerator,
 
         for i, batch in enumerate(batches):
             ensure_pre(i + 2)
+            if cascade_active and stats is not None and stats.should_bail():
+                # observed rung-1 closure is below the break-even envelope:
+                # the ladder's first rung is now pure overhead — decode
+                # subsequent batches at max_length directly (the cascade's
+                # measured worst case is 1.37x SLOWER than full-length,
+                # docs/artifacts/beam_eval_cascade.json)
+                cascade_active = False
+                stats.bailed_out = True
 
             pre_out = pre_futures[i].result()
             device_batch, mats = (pre_out if isinstance(pre_out, tuple)
@@ -325,20 +420,21 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     budget = max(recent_budgets)
                     out = gen.model.detect_and_decode(
                         params, device_batch, None, budget,
-                        b1 if cascade_on else max_length,
+                        b1 if cascade_active else max_length,
                         num_beams=num_beams, early_stopping=early_stopping,
                         kv_cache_dtype=kv, resize_mats=mats,
                         image_chunk=detect_image_chunk, mesh=mesh,
-                        return_features=True,
-                        return_done=cascade_on and num_beams > 1)
+                        return_features=True,  # budget-miss re-decode input
+                        return_done=cascade_active and num_beams > 1)
                     if spec_pending is not None:
                         prev = submit_post(
                             finalize_speculative(spec_pending[0],
-                                                 spec_pending[2]),
+                                                 spec_pending[2],
+                                                 spec_pending[3]),
                             spec_pending[1])
                         if prev is not None:
                             yield prev.result()
-                    spec_pending = (out, len(batch), budget)
+                    spec_pending = (out, len(batch), budget, cascade_active)
                     continue
 
                 # SYNCHRONOUS split path: batch 0 (seeds the budget
@@ -374,7 +470,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     # this batch's detect is queued (keeps yields in order)
                     prev = submit_post(
                         finalize_speculative(spec_pending[0],
-                                             spec_pending[2]),
+                                             spec_pending[2],
+                                             spec_pending[3]),
                         spec_pending[1])
                     if prev is not None:
                         yield prev.result()
@@ -392,12 +489,15 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     sel = jnp.asarray(sel_np)
                 num_selected = int(sel_np.sum())
                 record_budget(num_selected, sel_np.shape[0])
-                if length_bucket_cascade:
+                # after a bail-out the ladder is skipped (its first rung is
+                # losing); when cascade_on is False the ladder was trivially
+                # single-rung anyway, keep the original dispatch
+                if length_bucket_cascade and (cascade_active or not cascade_on):
                     ids, decoded = gen.model.decode_selected_cascade(
                         params, det["region_features"], sel, max_length,
                         kv_cache_dtype=kv, mesh=mesh,
                         first_count=num_selected, num_beams=num_beams,
-                        early_stopping=early_stopping)
+                        early_stopping=early_stopping, stats=stats)
                 else:
                     r_budget = gen.model.budget_for(
                         num_selected, int(device_batch.shape[0]), mesh=mesh)
@@ -431,14 +531,14 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     mesh=mesh)
                 out = gen.model.detect_and_decode(
                     params, device_batch, sel, r_budget,
-                    b1 if cascade_on else max_length,
+                    b1 if cascade_active else max_length,
                     num_beams=num_beams, early_stopping=early_stopping,
                     kv_cache_dtype=kv, resize_mats=mats,
                     image_chunk=detect_image_chunk, mesh=mesh,
-                    return_features=cascade_on,
-                    return_done=cascade_on and num_beams > 1)
+                    return_features=cascade_active,
+                    return_done=cascade_active and num_beams > 1)
                 ids, decoded = out["output_ids"], out["decoded_mask"]
-                if cascade_on:
+                if cascade_active:
                     # continue the length-bucket ladder for rows that hit
                     # the first cap: one tiny readback decides whether a
                     # second (much rarer) decode dispatch is needed at all.
@@ -455,8 +555,12 @@ def generate_reports_pipelined(gen: ReportGenerator,
                     unfin = last_col != pad_id
                     if done1 is not None:
                         unfin |= ~done1
-                    ids, decoded = continue_cascade(out, ids, decoded,
-                                                    host_sel & dec1 & unfin)
+                    rem = host_sel & dec1 & unfin
+                    if stats is not None:
+                        n_sel = int(host_sel.sum())
+                        stats.record_rung(b1, n_sel)
+                        stats.record_rung1(n_sel, int(rem.sum()))
+                    ids, decoded = continue_cascade(out, ids, decoded, rem)
                 device_out = {
                     "output_ids": ids,
                     "decoded_mask": decoded,
@@ -475,7 +579,8 @@ def generate_reports_pipelined(gen: ReportGenerator,
         if spec_pending is not None:
             # the stream's last batch was speculative: validate it now
             prev = submit_post(
-                finalize_speculative(spec_pending[0], spec_pending[2]),
+                finalize_speculative(spec_pending[0], spec_pending[2],
+                                     spec_pending[3]),
                 spec_pending[1])
             if prev is not None:
                 yield prev.result()

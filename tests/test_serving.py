@@ -275,3 +275,67 @@ def test_speculative_decode_matches_synchronous(setup, num_beams, cascade):
             np.testing.assert_array_equal(a.selected_regions,
                                           b.selected_regions)
             np.testing.assert_array_equal(a.class_detected, b.class_detected)
+
+
+def test_cascade_bailout_on_low_closure(setup):
+    """Adaptive cascade bail-out (VERDICT r4 #4): when observed rung-1
+    closure is below the threshold, the serving loop must skip the ladder
+    for subsequent batches — the cascade's measured worst case is 1.37x
+    SLOWER than a single full-length decode
+    (docs/artifacts/beam_eval_cascade.json). Zero closure is forced
+    deterministically: the EOS row of wte is zeroed, so its (tied-lm-head)
+    logit is exactly 0 while every other token's is noise — argmax never
+    picks EOS, no row ever finishes inside a bucket."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rgrg_tpu.core.config import GenerationConfig
+    from rgrg_tpu.serving import CascadeStats
+    from tests.test_full_model import SMOKE_CFG as _SMOKE
+
+    gen, paths = setup
+    params = jax.tree.map(lambda x: x, gen.params)  # shallow pytree copy
+    dec = dict(params["decoder"])
+    eos = _SMOKE.decoder.eos_token_id
+    dec["wte"] = {"embedding": jnp.asarray(
+        np.asarray(dec["wte"]["embedding"]).copy()).at[eos].set(0.0)}
+    params = dict(params)
+    params["decoder"] = dec
+
+    cfg2 = dataclasses.replace(
+        _SMOKE, generation=GenerationConfig(length_buckets=(4, 12)))
+    gen2 = ReportGenerator(params, GPT2Tokenizer.dummy(), cfg=cfg2,
+                           similarity_fn=None)
+    kwargs = dict(batch_size=2, num_beams=1, max_length=12,
+                  kv_cache_dtype=None)
+
+    stats = CascadeStats(threshold=0.5, min_rows=1)
+    casc = [r for chunk in generate_reports_pipelined(
+        gen2, paths, length_bucket_cascade=True, cascade_stats=stats,
+        **kwargs) for r in chunk]
+
+    # batch 0 (synchronous seed) observed zero closure; every later batch
+    # must have skipped the ladder
+    assert stats.bailed_out
+    assert stats.closure_rate() == 0.0
+    assert stats.batches == 1
+    assert stats.rows_selected > 0
+    assert 4 in stats.rung_rows and 12 in stats.rung_rows
+    # ...and bailing out never changes the reports
+    full = [r for chunk in generate_reports_pipelined(
+        gen2, paths, length_bucket_cascade=False, **kwargs) for r in chunk]
+    assert len(casc) == len(full) == 5
+    for a, b in zip(casc, full):
+        assert a.report == b.report
+        assert a.region_sentences == b.region_sentences
+
+    # a zero threshold disables the policy: the ladder runs to the end
+    stats_off = CascadeStats(threshold=0.0, min_rows=1)
+    casc2 = [r for chunk in generate_reports_pipelined(
+        gen2, paths, length_bucket_cascade=True, cascade_stats=stats_off,
+        **kwargs) for r in chunk]
+    assert not stats_off.bailed_out
+    assert stats_off.batches == 3
+    for a, b in zip(casc2, full):
+        assert a.report == b.report
