@@ -21,6 +21,7 @@ robustness, mirroring the reference's harnesses:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
 
 import jax
@@ -238,6 +239,7 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
                    artifacts_dir: Optional[str] = None, step: int = 0,
                    num_figure_images: int = 0,
                    cider_df=None, cider_log_n=None,
+                   cascade_stats="auto",
                    ) -> Dict[str, Any]:
     """Full validation pass: detector + classifier metrics over all batches;
     language generation/metrics over <= max_language_batches (the reference
@@ -254,6 +256,13 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
     generated sentence/report dumps (evaluate_language_model.py:511-578) and,
     with num_figure_images > 0, region-group bbox figures for the first
     batch's images (training_script_object_detector.py:93-147).
+    cascade_stats: serving.CascadeStats collecting per-rung closure
+    telemetry and the bail-out policy ("auto" = create one; None = off).
+    When observed rung-1 closure drops below the break-even threshold the
+    remaining batches decode at max_length directly (the cascade's worst
+    case is 1.37x slower than full-length — beam_eval_cascade.json); the
+    snapshot + decode timing land in the returned scores under
+    "language_generation".
     """
     if similarity_fn == "auto":
         # reference-default distilbert BERTScore soft dedup for report
@@ -261,6 +270,12 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
         # local weights — exact dedup only
         from rgrg_tpu.eval.bertscore import default_scorer
         similarity_fn = default_scorer()
+    if cascade_stats == "auto":
+        from rgrg_tpu.serving import CascadeStats
+        cascade_stats = CascadeStats()
+    decode_seconds = 0.0
+    language_images = 0
+    t_loop = time.perf_counter()
     det_metrics = DetectorMetrics()
     # selection P/R/F1 over all / normal / abnormal regions (the reference's
     # region_selection_scores subsets, evaluate_model.py:332-357)
@@ -301,6 +316,18 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
         if (generate_language and tokenizer is not None
                 and bi < max_language_batches and "reference_phrases" in batch):
             sel = det["selected_regions"]
+            if cascade_stats is not None and cascade_stats.should_bail():
+                # observed rung-1 closure is below break-even: the ladder's
+                # first rung is pure overhead for this checkpoint's length
+                # distribution (worst case measured 1.37x SLOWER than a
+                # full-length decode, beam_eval_cascade.json) — decode the
+                # remaining batches at max_length directly. A single
+                # (max_length,) bucket routes through the same budget
+                # logic, so outputs stay identical (cascade equivalence,
+                # tests/test_length_buckets.py).
+                cascade_stats.bailed_out = True
+            bailed = cascade_stats is not None and cascade_stats.bailed_out
+            t_dec = time.perf_counter()
             # length-bucket cascade: the reference evaluates at
             # max_length 300 (evaluate_language_model.py:1204-1205) while
             # ~95% of region sentences are <60 tokens — decoding through
@@ -310,14 +337,28 @@ def evaluate_model(model: RGRG, params: Dict[str, Any],
             ids, decoded = model.decode_selected_cascade(
                 params, det["region_features"], sel, max_length,
                 num_beams=num_beams, early_stopping=early_stopping,
-                kv_cache_dtype=kv_cache_dtype)
+                kv_cache_dtype=kv_cache_dtype,
+                buckets=(max_length,) if bailed else None,
+                stats=None if bailed else cascade_stats)
+            decode_seconds += time.perf_counter() - t_dec
+            language_images += int(np.asarray(batch["images"]).shape[0])
             collector.add_batch(np.asarray(ids), np.asarray(decoded), tokenizer,
                                 batch["reference_phrases"],
                                 batch.get("region_is_abnormal"),
                                 batch.get("reference_reports"),
                                 similarity_fn=similarity_fn)
 
+    loop_seconds = time.perf_counter() - t_loop
     out: Dict[str, Any] = {
+        "language_generation": {
+            "decode_seconds": round(decode_seconds, 3),
+            "loop_seconds": round(loop_seconds, 3),
+            "language_images": language_images,
+            "reports_per_sec_decode": (round(language_images / decode_seconds, 3)
+                                       if decode_seconds else None),
+            "cascade": (cascade_stats.snapshot()
+                        if cascade_stats is not None else None),
+        },
         "object_detector": det_metrics.compute(),
         "region_selection": {s: m.compute() for s, m in sel_metrics.items()},
         "region_abnormal": abn_metrics.compute(),
