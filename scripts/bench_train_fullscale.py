@@ -83,6 +83,27 @@ def build_batch(rng: np.random.Generator, batch: int, seq_len: int,
     }
 
 
+def cost_analysis_dict(compiled, peak_tflops: float = 197.0):
+    """Analytic FLOPs/bytes from the compiled executable -> MFU anchor.
+    197 TFLOP/s = v5e bf16 MXU peak (public spec; bench.py uses the same
+    constant). XLA's flop count is the compiled graph's, i.e. it already
+    reflects remat recompute — the honest denominator for 'how busy is
+    the MXU', slightly pessimistic as a model-FLOPs MFU."""
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops = float(c.get("flops", float("nan")))
+        byts = float(c.get("bytes accessed", float("nan")))
+        return {"flops_per_step": flops if flops == flops else None,
+                "gflops_per_step": (round(flops / 1e9, 1)
+                                    if flops == flops else None),
+                "bytes_accessed": byts if byts == byts else None,
+                "mxu_peak_tflops": peak_tflops}
+    except Exception as e:  # noqa: BLE001 - backend may not support it
+        return {"error": str(e)}
+
+
 def mem_analysis_dict(compiled):
     try:
         m = compiled.memory_analysis()
@@ -128,6 +149,11 @@ def main():
     ap.add_argument("--aot-extra", action="store_true",
                     help="also AOT-compile the no-remat variant and record "
                          "its memory analysis (no execution)")
+    ap.add_argument("--stage3-only", action="store_true",
+                    help="skip the stage-1/stage-2 step-cost sections")
+    ap.add_argument("--no-ckpt-roundtrip", action="store_true",
+                    help="skip the full-scale orbax save/restore + bitwise "
+                         "one-step continuation check")
     ap.add_argument("--shallow", action="store_true",
                     help="tiny model on CPU (plumbing smoke)")
     ap.add_argument("--out", default="docs/artifacts/train_step_fullscale.json")
@@ -212,6 +238,7 @@ def main():
     compiled = lowered.compile()
     summary["compile_seconds"] = round(time.time() - t0, 1)
     summary["memory_analysis"] = mem_analysis_dict(compiled)
+    summary["cost_analysis"] = cost_analysis_dict(compiled)
     print(f"compiled in {summary['compile_seconds']}s: "
           f"{summary['memory_analysis']}", file=sys.stderr)
 
@@ -263,8 +290,114 @@ def main():
         args.lm_budget * args.seq_len * micro_sps, 0)
     summary["first_step_losses"] = {k: round(v, 4)
                                     for k, v in first_losses.items()}
+    fl = summary["cost_analysis"].get("flops_per_step")
+    if fl:
+        summary["mfu"] = round(fl * micro_sps / 197.0e12, 4)
+        summary["tflops_per_sec"] = round(fl * micro_sps / 1e12, 1)
     summary["device_memory_stats"] = device_mem_stats()
     summary["platform"] = jax.devices()[0].platform
+
+    # ----- full-scale orbax save/restore + one-step bitwise continuation -----
+    # The resume path had only tiny-config CPU tests; this exercises it once
+    # at the 609M-param scale on the chip. Bitwise check via per-leaf uint64
+    # sums of the bitcast state (params + opt_state) after one step from the
+    # in-memory state vs one step from the restored checkpoint — holding two
+    # full TrainStates through a 14 GiB step would OOM, the fingerprint
+    # doesn't have to.
+    if not args.no_ckpt_roundtrip:
+        import shutil
+        import tempfile
+
+        import jax.numpy as jnp
+
+        bits_dtype = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32,
+                      8: jnp.uint64}
+
+        def fingerprint(tree):
+            # per-leaf bit-sum mod 2^32 (x64 is disabled): a single flipped
+            # element changes the sum unless it exactly cancels — plenty to
+            # certify "restored step == in-memory step" over 493 leaves
+            def fp(x):
+                bits = jax.lax.bitcast_convert_type(
+                    x, bits_dtype[x.dtype.itemsize])
+                return jnp.sum(bits.astype(jnp.uint32))
+            return [int(v) for v in jax.device_get(
+                [fp(x) for x in jax.tree.leaves(tree)])]
+
+        ckpt_dir = tempfile.mkdtemp(prefix="fullscale_ckpt_")
+        try:
+            from rgrg_tpu.core.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+            t0 = time.time()
+            save_checkpoint(os.path.join(ckpt_dir, "state"), state)
+            save_s = time.time() - t0
+            rng_c = jax.random.fold_in(rng, 12345)
+            state_a, losses_a = compiled(state, dev_batches[0], rng_c)
+            fp_a = fingerprint(state_a)
+            loss_a = float(losses_a["loss_total"])
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state_a)
+            del state_a, losses_a, state  # free HBM before the restore branch
+            t0 = time.time()
+            state_b = load_checkpoint(os.path.join(ckpt_dir, "state"),
+                                      target=abstract)
+            restore_s = time.time() - t0
+            state_b, losses_b = compiled(state_b, dev_batches[0], rng_c)
+            fp_b = fingerprint(state_b)
+            loss_b = float(losses_b["loss_total"])
+            state = state_b
+            summary["checkpoint_roundtrip"] = {
+                "save_seconds": round(save_s, 1),
+                "restore_seconds": round(restore_s, 1),
+                "state_leaves": len(fp_a),
+                "bitwise_continuation": fp_a == fp_b,
+                "loss_total_match": loss_a == loss_b,
+            }
+            assert fp_a == fp_b, "restored step diverged from in-memory step"
+        finally:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+        print(f"checkpoint roundtrip: {summary['checkpoint_roundtrip']}",
+              file=sys.stderr)
+
+    # ----- stage-1 / stage-2 step costs at the same scale -----
+    # stage 1 = detector-only losses (reference batch 16,
+    # training_script_object_detector.py:33-49); stage 2 = + binary
+    # classifiers, no LM (full_model training without language,
+    # README_TRAIN_TEST.md) — both through the SAME trainer entry point the
+    # product uses (train/trainer.py make_train_step(stage=N)).
+    if not args.stage3_only:
+        del state, compiled, step
+        for st in (1, 2):
+            t0 = time.time()
+            state_s, opt_s = T.init_train_state(
+                model, jax.random.PRNGKey(st), tcfg, stage=st)
+            step_s = T.make_train_step(model, tcfg, opt_s, stage=st,
+                                       lm_budget=args.lm_budget,
+                                       mixed_precision=mixed,
+                                       remat_decoder=remat)
+            compiled_s = step_s.lower(state_s, dev_batches[0], rng).compile()
+            sec = {"compile_seconds": round(time.time() - t0, 1),
+                   "memory_analysis": mem_analysis_dict(compiled_s),
+                   "cost_analysis": cost_analysis_dict(compiled_s)}
+            state_s, losses = compiled_s(state_s, dev_batches[0], rng)
+            assert np.isfinite(float(losses["loss_total"]))
+            ts = []
+            for k in range(args.steps):
+                rng_k = jax.random.fold_in(rng, 1000 + k)
+                t0 = time.perf_counter()
+                state_s, losses = compiled_s(state_s, dev_batches[k], rng_k)
+                float(losses["loss_total"])
+                ts.append(time.perf_counter() - t0)
+            dts = float(np.median(ts))
+            sec["median_step_s"] = round(dts, 3)
+            sec["images_per_sec"] = round(args.batch / dts, 2)
+            flc = sec["cost_analysis"].get("flops_per_step")
+            if flc:
+                sec["mfu"] = round(flc / dts / 197.0e12, 4)
+            summary[f"stage{st}"] = sec
+            print(f"stage {st}: {dts:.3f}s/step "
+                  f"({sec['images_per_sec']} img/s)", file=sys.stderr)
+            del state_s, compiled_s, step_s, opt_s
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
