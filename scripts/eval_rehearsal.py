@@ -113,6 +113,9 @@ def main():
                          "metrics still run over ALL batches)")
     ap.add_argument("--skip-setup", action="store_true",
                     help="reuse an existing workdir (ckpt + csvs + tokenizer)")
+    ap.add_argument("--setup-only", action="store_true",
+                    help="synthesize inputs + checkpoint (CPU) and exit — "
+                         "lets setup run during a tunnel outage")
     ap.add_argument("--artifact",
                     default="docs/artifacts/eval_rehearsal.json")
     args = ap.parse_args()
@@ -125,8 +128,20 @@ def main():
     from rgrg_tpu.core.config import ModelConfig
     cfg = ModelConfig()
 
-    if not args.skip_setup:
+    setup_done = (os.path.isdir(tok_dir) and os.path.isdir(ckpt_dir)
+                  and all(os.path.exists(c) for c in csvs))
+    if setup_done and not args.skip_setup:
+        print(f"reusing existing setup under {wd}", flush=True)
+    if not (args.skip_setup or setup_done):
         import jax
+
+        # setup (image synth, tokenizer dir, random init + orbax save) needs
+        # no TPU — force CPU so a tunnel outage can't block it; the driver
+        # under test runs in its own process on the axon backend
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/tests/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
         from rgrg_tpu.core.checkpoint import save_checkpoint
         from rgrg_tpu.models.full_model import RGRG
@@ -143,6 +158,10 @@ def main():
         save_checkpoint(ckpt_dir, jax.tree.map(lambda x: jax.device_get(x),
                                                params))
         del params, model
+
+    if args.setup_only:
+        print(f"setup complete under {wd}")
+        return
 
     # the driver under test, in its own process (exactly how a user runs it)
     out_json = os.path.join(wd, "scores.json")
