@@ -162,6 +162,40 @@ def test_evaluate_model_full(tiny_setup, tmp_path):
         assert "Generated sentences that were removed:" in body
 
 
+def test_evaluate_model_cascade_bailout_telemetry(tiny_setup):
+    """Low observed rung-1 closure must flip the evaluator to direct
+    max_length decode for later batches and surface the telemetry
+    (VERDICT r4 #4: the cascade's worst case is 1.37x slower than
+    full-length decode; beam_eval_cascade.json)."""
+    import dataclasses
+
+    from rgrg_tpu.serving import CascadeStats
+
+    model, params, batches = tiny_setup
+    # a multi-rung ladder (4, 8): with max_length below the first config
+    # bucket the ladder collapses to one rung and closure is undefined
+    cfg = dataclasses.replace(
+        model.cfg, generation=dataclasses.replace(
+            model.cfg.generation, length_buckets=(4,)))
+    model = RGRG(cfg=cfg)
+    # threshold > 1: ANY observed closure rate counts as below break-even,
+    # so the bail-out must engage after batch 1 (min_rows=1)
+    stats = CascadeStats(threshold=1.1, min_rows=1)
+    out = evaluate_model(model, params, batches, GPT2Tokenizer.dummy(),
+                         max_length=8, cascade_stats=stats)
+    lg = out["language_generation"]
+    assert lg["cascade"]["bailed_out"]
+    assert lg["cascade"]["rows_selected"] >= 1
+    assert lg["language_images"] == len(batches)
+    assert lg["decode_seconds"] > 0
+    assert lg["reports_per_sec_decode"] > 0
+
+    # telemetry off: no snapshot, outputs otherwise intact
+    out_off = evaluate_model(model, params, batches, GPT2Tokenizer.dummy(),
+                             max_length=8, cascade_stats=None)
+    assert out_off["language_generation"]["cascade"] is None
+
+
 def test_validation_losses_per_module(tiny_setup):
     from rgrg_tpu.core.config import TrainConfig
     from rgrg_tpu.eval.evaluator import validation_losses
