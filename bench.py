@@ -80,18 +80,24 @@ def ensure_native():
             print(f"note: native build skipped ({e})", file=sys.stderr)
 
 
-def wait_for_backend(attempts: int = 6, delay_s: float = 30.0,
+def wait_for_backend(attempts: int = 8, delay_s: float = 45.0,
                      probe_timeout_s: float = 90.0):
-    """Block until the device backend initializes, riding out transient
-    tunnel outages (the axon TPU tunnel has unavailable phases lasting
-    minutes, during which backend init either errors OR hangs — and jax
-    caches an in-process init failure, so the probe must run in a bounded
-    SUBPROCESS; only after a probe succeeds do we init in-process)."""
+    """Block until the device backend initializes AND dispatches, riding out
+    transient tunnel outages (the axon TPU tunnel has unavailable phases
+    lasting minutes-to-hours, during which backend init either errors OR
+    hangs — and jax caches an in-process init failure, so the probe must
+    run in a bounded SUBPROCESS; only after a probe succeeds do we init
+    in-process). The probe runs a tiny jitted op, not just jax.devices():
+    r5 saw a flapping mode where device LISTING succeeds while dispatch
+    hangs forever."""
     import subprocess
+    probe_src = ("import jax, jax.numpy as jnp; "
+                 "f = jax.jit(lambda a, s: jnp.sum(a + s)); "
+                 "print(float(f(jnp.zeros((8, 128)), 1.0)))")
     for i in range(attempts):
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe_src],
                 timeout=probe_timeout_s, capture_output=True)
             if r.returncode == 0:
                 return
