@@ -95,23 +95,34 @@ void resize_area(const uint8_t* src, int sh, int sw, float* dst, int dh,
   }
 }
 
-// Bilinear resize (half-pixel centers), used for the rare upscale case.
-void resize_bilinear(const uint8_t* src, int sh, int sw, float* dst, int dh,
-                     int dw) {
-  const double sy = static_cast<double>(sh) / dh;
-  const double sx = static_cast<double>(sw) / dw;
+// Upscale taps for one axis, cv2 INTER_AREA "area-mode" semantics: for
+// scale < 1 OpenCV's resize keeps INTER_AREA but computes the two-tap
+// coefficients as s0 = floor(o*scale), f = (o+1) - (s0+1)*dst/src,
+// f = f <= 0 ? 0 : f - floor(f) (resize.cpp's area branch) — NOT
+// half-pixel-center bilinear, which diverges from cv2 by up to dozens of
+// gray levels. We evaluate the taps in float (cv2's uint8 path runs them
+// in 11-bit fixed point, a <=1-gray-level truncation difference that
+// tests/test_resize_device.py documents).
+void resize_area_upscale(const uint8_t* src, int sh, int sw, float* dst,
+                         int dh, int dw) {
+  // cv2 derives scale as the reciprocal of inv_scale (resize.cpp:
+  // scale_x = 1./inv_scale_x) rather than src/dst directly; the 1-ulp
+  // difference moves floor(o*scale) at outputs where o*scale lands on an
+  // exact integer (e.g. 186->512 col 256), so replicate it exactly.
+  const double invy = static_cast<double>(dh) / sh;
+  const double invx = static_cast<double>(dw) / sw;
+  const double sy = 1.0 / invy;
+  const double sx = 1.0 / invx;
   for (int oy = 0; oy < dh; ++oy) {
-    double fy = (oy + 0.5) * sy - 0.5;
-    fy = std::max(0.0, std::min(fy, sh - 1.0));
-    const int y0 = static_cast<int>(fy);
+    const int y0 = static_cast<int>(std::floor(oy * sy));
+    double ly = (oy + 1) - (y0 + 1) * invy;
+    ly = ly <= 0 ? 0.0 : ly - std::floor(ly);
     const int y1 = std::min(y0 + 1, sh - 1);
-    const double ly = fy - y0;
     for (int ox = 0; ox < dw; ++ox) {
-      double fx = (ox + 0.5) * sx - 0.5;
-      fx = std::max(0.0, std::min(fx, sw - 1.0));
-      const int x0 = static_cast<int>(fx);
+      const int x0 = static_cast<int>(std::floor(ox * sx));
+      double lx = (ox + 1) - (x0 + 1) * invx;
+      lx = lx <= 0 ? 0.0 : lx - std::floor(lx);
       const int x1 = std::min(x0 + 1, sw - 1);
-      const double lx = fx - x0;
       const double v =
           (1 - ly) * ((1 - lx) * src[(int64_t)y0 * sw + x0] +
                       lx * src[(int64_t)y0 * sw + x1]) +
@@ -128,15 +139,18 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, float* dst, int dh,
 void preprocess_one(const uint8_t* src, int sh, int sw, float* out, int size,
                     float mean, float stddev, float max_pixel) {
   const double scale = static_cast<double>(size) / std::max(sh, sw);
-  const int dh = std::max(1, (int)std::lround(sh * scale));
-  const int dw = std::max(1, (int)std::lround(sw * scale));
+  // half-EVEN tie rounding (nearbyint under FE_TONEAREST) — albumentations'
+  // LongestMaxSize rounds dims with Python round; lround's half-away would
+  // shift the resized window one row on tie shapes like 961x1024
+  const int dh = std::max(1, (int)std::nearbyint(sh * scale));
+  const int dw = std::max(1, (int)std::nearbyint(sw * scale));
   std::vector<float> resized((size_t)dh * dw);
   if (dh == sh && dw == sw) {
     for (size_t i = 0; i < resized.size(); ++i) resized[i] = src[i];
   } else if (scale < 1.0) {
     resize_area(src, sh, sw, resized.data(), dh, dw);
   } else {
-    resize_bilinear(src, sh, sw, resized.data(), dh, dw);
+    resize_area_upscale(src, sh, sw, resized.data(), dh, dw);
   }
   const int top = std::max((size - dh) / 2, 0);
   const int left = std::max((size - dw) / 2, 0);

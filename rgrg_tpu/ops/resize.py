@@ -1,7 +1,8 @@
 """On-device image preprocessing: resize + pad + normalize as two matmuls.
 
 The host C++ pipeline (native/preprocess.cc) resizes each X-ray with
-separable area averaging (downscale) or bilinear interpolation (upscale),
+separable area averaging (downscale) or cv2's INTER_AREA area-mode
+two-tap interpolation (the rare upscale case),
 rounds to the uint8 domain, center-pads to 512x512 and normalizes — all on
 a 1-core serving host, which makes the HOST the product-path bottleneck
 (~6 ms/image while the TPU sits at 0.3 s for a 32-image fused step).
@@ -63,19 +64,28 @@ def _area_axis_weights(src: int, dst: int) -> np.ndarray:
     return w
 
 
-def _bilinear_axis_weights(src: int, dst: int) -> np.ndarray:
-    """[dst, src] half-pixel-center bilinear weights (<=2 taps per row).
+def _area_upscale_axis_weights(src: int, dst: int) -> np.ndarray:
+    """[dst, src] cv2 INTER_AREA upscale weights (<=2 taps per row).
 
-    Mirrors native/preprocess.cc resize_bilinear's per-axis coordinate
-    math: f = clamp((o + .5) * src/dst - .5, 0, src-1), taps (1-l, l) at
-    floor(f) and min(floor(f)+1, src-1)."""
-    scale = src / dst
+    For scale < 1 OpenCV's resize keeps INTER_AREA but computes two-tap
+    coefficients as s0 = floor(o*scale), f = (o+1) - (s0+1)*dst/src,
+    f = f <= 0 ? 0 : f - floor(f) (resize.cpp's area branch) — NOT
+    half-pixel-center bilinear, which diverges from cv2 by up to dozens
+    of gray levels. Mirrors native/preprocess.cc resize_area_upscale
+    bit-identically (double coordinate math, float32 taps); cv2's uint8
+    path runs the same taps in 11-bit fixed point, a <=1-gray-level
+    truncation difference documented in tests/test_resize_device.py."""
+    inv = dst / src
+    # cv2 derives scale as 1/inv_scale (resize.cpp), NOT src/dst: the 1-ulp
+    # difference moves floor(o*scale) where o*scale is an exact integer
+    scale = 1.0 / inv
     w = np.zeros((dst, src), np.float32)
     for o in range(dst):
-        f = min(max((o + 0.5) * scale - 0.5, 0.0), src - 1.0)
-        i0 = int(f)
+        i0 = int(np.floor(o * scale))
+        f = (o + 1) - (i0 + 1) * inv
+        f = 0.0 if f <= 0 else f - np.floor(f)
         i1 = min(i0 + 1, src - 1)
-        l = np.float32(f - i0)
+        l = np.float32(f)
         w[o, i0] += np.float32(1.0) - l
         w[o, i1] += l
     return w
@@ -86,7 +96,7 @@ def _axis_matrix(src: int, dst: int, scale: float) -> np.ndarray:
         return np.eye(dst, dtype=np.float32)
     if scale < 1.0:
         return _area_axis_weights(src, dst)
-    return _bilinear_axis_weights(src, dst)
+    return _area_upscale_axis_weights(src, dst)
 
 
 @functools.lru_cache(maxsize=256)
@@ -95,13 +105,16 @@ def resize_matrices(sh: int, sw: int, size: int = C.IMAGE_SIZE
     """(wy [size, sh], wx [sw, size]) for one source shape.
 
     Longest-max-size target dims and the centering offsets follow
-    native/preprocess.cc preprocess_one exactly (lround scaling, top/left
-    = (size - d)/2); rows/cols outside the resized window are zero, which
-    after the affine normalization yields the pad value."""
+    native/preprocess.cc preprocess_one exactly (half-even dim rounding,
+    top/left = (size - d)/2); rows/cols outside the resized window are
+    zero, which after the affine normalization yields the pad value."""
     scale = size / max(sh, sw)
-    # std::lround rounds half AWAY from zero (Python round is half-even)
-    dh = max(1, int(np.floor(sh * scale + 0.5)))
-    dw = max(1, int(np.floor(sw * scale + 0.5)))
+    # half-EVEN tie rounding: albumentations' LongestMaxSize rounds dims
+    # with Python round (data/transforms.py longest_max_size) — a tie shape
+    # like 961x1024 (961*0.5 = 480.5 -> 480, not 481) otherwise shifts the
+    # whole resized window one row vs the reference pipeline
+    dh = max(1, round(sh * scale))
+    dw = max(1, round(sw * scale))
     top = max((size - dh) // 2, 0)
     left = max((size - dw) // 2, 0)
     wy = np.zeros((size, sh), np.float32)

@@ -37,9 +37,26 @@ def test_device_matches_host_pipeline(shape):
     dev = np.asarray(device_preprocess(imgs, wy, wx))
 
     diff = np.abs(dev - host)
-    assert diff.max() <= QUANT * 1.001, diff.max()
+    _assert_matches_host(diff, shape)
+
+
+def _assert_matches_host(diff, shape):
+    """Against the native host path the device dots share exact tap floats,
+    so only f32 summation-order ties diverge (one quant step, vanishing
+    fraction). Against the cv2 FALLBACK the fractional-downscale/identity
+    regimes are equally tight, but cv2's uint8 kernels use fixed-point
+    arithmetic with different rounding conventions — 11-bit taps with
+    inter-pass floors on upscale (resize.cpp VResizeLinear u8), (sum+2)>>2
+    half-UP averaging on integer fast-area downscale — while our dots
+    evaluate the same taps in float with half-even quantization: up to one
+    quant step on ~3-10% of pixels (worst unrounded gap measured 0.79
+    gray on upscale; exact-tie flips only on fast-area)."""
+    assert diff.max() <= QUANT * 1.001, (shape, diff.max())
     mismatch = (diff > QUANT * 1e-3).mean()
-    assert mismatch < 1e-3, f"{mismatch:.2e} of pixels off by a quant step"
+    if native_available():
+        assert mismatch < 1e-3, f"{mismatch:.2e} of pixels off by a step"
+    else:
+        assert mismatch < 0.12, f"{mismatch:.2e} of pixels off by a step"
 
 
 def test_device_matches_host_fuzz_shapes():
@@ -54,8 +71,7 @@ def test_device_matches_host_fuzz_shapes():
         wy, wx = resize_matrices(h, w)
         dev = np.asarray(device_preprocess(img, wy, wx))
         diff = np.abs(dev - host)
-        assert diff.max() <= QUANT * 1.001, (h, w, diff.max())
-        assert (diff > QUANT * 1e-3).mean() < 1e-3, (h, w)
+        _assert_matches_host(diff, (h, w))
 
 
 def test_weight_rows_sum_to_one_inside_window():
@@ -68,6 +84,29 @@ def test_weight_rows_sum_to_one_inside_window():
     col_sums = wx.sum(axis=0)
     inside = col_sums > 0.5
     np.testing.assert_allclose(col_sums[inside], 1.0, atol=1e-6)
+
+
+def test_upscale_weights_match_cv2_inter_area():
+    """The upscale weight rows implement cv2's INTER_AREA area-mode taps
+    (resize.cpp: s0 = floor(o*scale), f = (o+1) - (s0+1)*dst/src, two taps)
+    — pinned directly against cv2.resize, independent of the native lib.
+    cv2's uint8 kernel quantizes the same taps to 11-bit fixed point with
+    inter-pass floors, bounding the float-vs-cv2 gap below one gray level."""
+    import cv2
+
+    from rgrg_tpu.ops.resize import _area_upscale_axis_weights
+
+    rng = np.random.default_rng(3)
+    for (sh, sw), (dh, dw) in [((302, 275), (512, 466)),
+                               ((300, 200), (512, 341)),
+                               ((97, 113), (440, 512))]:
+        img = rng.integers(0, 256, (sh, sw), dtype=np.uint8)
+        want = cv2.resize(img, (dw, dh),
+                          interpolation=cv2.INTER_AREA).astype(np.float32)
+        wy = _area_upscale_axis_weights(sh, dh)
+        wx = _area_upscale_axis_weights(sw, dw)
+        ours = wy @ img.astype(np.float32) @ wx.T
+        assert np.abs(ours - want).max() < 1.0, (sh, sw)
 
 
 @pytest.mark.skipif(not native_available(),
